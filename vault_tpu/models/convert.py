@@ -1,0 +1,126 @@
+"""Checkpoint conversion: HF PyTorch state_dicts -> vault_tpu pytrees.
+
+This is the weight-porting layer called for in SURVEY.md §7 step 1: the
+reference loads ``dandelin/vilt-b32-*`` and BERT/BERTweet checkpoints through
+HF ``from_pretrained`` (vault/models/vault/model.py:92-128); we load the same
+torch state_dicts and re-layout them into our functional pytrees.
+
+Layout notes:
+  * torch ``nn.Linear`` weight is (out, in); ours is (in, out) -> transpose.
+  * torch ``Conv2d`` weight (O, I, kh, kw) is kept as-is (patchify uses OIHW).
+  * per-layer weights are stacked along a leading layer axis for lax.scan.
+
+Only numpy is required here; tensors may be torch Tensors or numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vault_tpu.config import TextTowerConfig, ViltConfig
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _lin(sd, name):
+    p = {"w": jnp.asarray(_np(sd[f"{name}.weight"]).T)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[f"{name}.bias"]))
+    return p
+
+
+def _ln(sd, name):
+    return {"scale": jnp.asarray(_np(sd[f"{name}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{name}.bias"]))}
+
+
+def _emb(sd, name):
+    return jnp.asarray(_np(sd[f"{name}.weight"]))
+
+
+def _stack(trees):
+    import jax
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def strip_prefix(state_dict, prefix: str):
+    """Return a view of state_dict with ``prefix`` removed from keys."""
+    if not prefix:
+        return dict(state_dict)
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = v
+    return out
+
+
+def bert_params_from_torch(state_dict, cfg: TextTowerConfig, prefix: str = ""):
+    """Convert HF BertModel/RobertaModel state_dict (add_pooling_layer=False)."""
+    sd = strip_prefix(state_dict, prefix)
+    params = {
+        "embeddings": {
+            "word": _emb(sd, "embeddings.word_embeddings"),
+            "position": _emb(sd, "embeddings.position_embeddings"),
+            "token_type": _emb(sd, "embeddings.token_type_embeddings"),
+            "ln": _ln(sd, "embeddings.LayerNorm"),
+        }
+    }
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        layers.append({
+            "q": _lin(sd, f"{p}.attention.self.query"),
+            "k": _lin(sd, f"{p}.attention.self.key"),
+            "v": _lin(sd, f"{p}.attention.self.value"),
+            "attn_out": _lin(sd, f"{p}.attention.output.dense"),
+            "attn_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            "mlp_in": _lin(sd, f"{p}.intermediate.dense"),
+            "mlp_out": _lin(sd, f"{p}.output.dense"),
+            "mlp_ln": _ln(sd, f"{p}.output.LayerNorm"),
+        })
+    params["layers"] = _stack(layers)
+    return params
+
+
+def vilt_params_from_torch(state_dict, cfg: ViltConfig, prefix: str = ""):
+    """Convert HF ViltModel state_dict (optionally under e.g. 'vilt.')."""
+    sd = strip_prefix(state_dict, prefix)
+    params = {
+        "text_embeddings": {
+            "word": _emb(sd, "embeddings.text_embeddings.word_embeddings"),
+            "position": _emb(sd, "embeddings.text_embeddings.position_embeddings"),
+            "token_type": _emb(sd, "embeddings.text_embeddings.token_type_embeddings"),
+            "ln": _ln(sd, "embeddings.text_embeddings.LayerNorm"),
+        },
+        "cls_token": jnp.asarray(_np(sd["embeddings.cls_token"]).reshape(-1)),
+        "patch_proj": {
+            "w": jnp.asarray(_np(sd["embeddings.patch_embeddings.projection.weight"])),
+            "b": jnp.asarray(_np(sd["embeddings.patch_embeddings.projection.bias"])),
+        },
+        "pos_embeddings": jnp.asarray(
+            _np(sd["embeddings.position_embeddings"]).reshape(-1, cfg.hidden_size)),
+        "modality_type": _emb(sd, "embeddings.token_type_embeddings"),
+        "final_ln": _ln(sd, "layernorm"),
+    }
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        layers.append({
+            "ln_before": _ln(sd, f"{p}.layernorm_before"),
+            "q": _lin(sd, f"{p}.attention.attention.query"),
+            "k": _lin(sd, f"{p}.attention.attention.key"),
+            "v": _lin(sd, f"{p}.attention.attention.value"),
+            "attn_out": _lin(sd, f"{p}.attention.output.dense"),
+            "ln_after": _ln(sd, f"{p}.layernorm_after"),
+            "mlp_in": _lin(sd, f"{p}.intermediate.dense"),
+            "mlp_out": _lin(sd, f"{p}.output.dense"),
+        })
+    params["layers"] = _stack(layers)
+    if "pooler.dense.weight" in sd:
+        params["pooler"] = _lin(sd, "pooler.dense")
+    return params

@@ -1,0 +1,79 @@
+"""Functional NN primitives shared by all towers.
+
+Numerical contract matches HF PyTorch modules (SURVEY.md §2.7):
+  * LayerNorm: eps inside sqrt, elementwise affine.
+  * GELU: exact (erf-based), HF ACT2FN["gelu"].
+  * Linear: ``x @ w + b`` with weights stored (in, out) — the torch->jax
+    converter transposes torch's (out, in) layout.
+
+All matmuls take ``preferred_element_type=jnp.float32`` so bf16 params/inputs
+still accumulate in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params, x: jax.Array) -> jax.Array:
+    """Dense layer. params = {"w": (in, out), "b": (out,) [optional]}."""
+    y = jnp.matmul(x, params["w"], preferred_element_type=jnp.float32)
+    b = params.get("b")
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype) if x.dtype == jnp.bfloat16 else y
+
+
+def layer_norm(params, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """LayerNorm over the last dim, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"] + params["bias"]
+    return y.astype(x.dtype)
+
+
+def act_fn(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new" or name == "gelu_pytorch_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def dropout(rng: Optional[jax.Array], x: jax.Array, rate: float, deterministic: bool) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    assert rng is not None, "dropout needs an rng when not deterministic"
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Initializers (HF-compatible: normal(0, initializer_range), zeros bias,
+# LayerNorm ones/zeros — modeling_vilt.py _init_weights, same for BERT).
+# ---------------------------------------------------------------------------
+
+def init_linear(rng, in_dim: int, out_dim: int, stddev: float = 0.02, bias: bool = True):
+    p = {"w": jax.random.normal(rng, (in_dim, out_dim), jnp.float32) * stddev}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def init_layer_norm(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_embedding(rng, num: int, dim: int, stddev: float = 0.02, padding_idx: Optional[int] = None):
+    w = jax.random.normal(rng, (num, dim), jnp.float32) * stddev
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return w
