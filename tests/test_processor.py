@@ -1,0 +1,135 @@
+"""Tokenizer + image-pipeline parity tests (SURVEY.md §4 proposal (c))."""
+
+import numpy as np
+import pytest
+
+from vault_tpu.data.image import (
+    MAX_ASPECT_RATIO,
+    pad_batch,
+    preprocess_image,
+    relative_random_crop,
+    resize_normalize,
+    safe_aspect_crop,
+    target_size,
+)
+from vault_tpu.data.processor import VaultProcessor
+from vault_tpu.text.wordpiece import WordPieceTokenizer
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] the quick brown fox jump ##s ##ed over "
+    "lazy dog a cat sat on mat ! . , ' un ##want ##ed run ##ning 1 2 3"
+).split()
+VOCAB_DICT = {t: i for i, t in enumerate(VOCAB)}
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer(VOCAB_DICT)
+
+
+@pytest.fixture(scope="module")
+def hf_tok(tmp_path_factory):
+    from transformers import BertTokenizer
+
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return BertTokenizer(str(p), do_lower_case=True)
+
+
+@pytest.mark.parametrize("text", [
+    "The quick brown fox jumps over the lazy dog!",
+    "unwanted running",
+    "a cat, sat on 1 mat.",
+    "UNWANTED ruNNing",
+    "completely-unknownword",
+])
+def test_wordpiece_matches_hf(tok, hf_tok, text):
+    assert tok.tokenize(text) == hf_tok.tokenize(text)
+
+
+def test_encode_matches_hf(tok, hf_tok):
+    text = "the quick brown fox"
+    ours = tok.encode(text, max_length=12)
+    ref = hf_tok(text, padding="max_length", truncation=True, max_length=12)
+    assert ours["input_ids"] == ref["input_ids"]
+    assert ours["attention_mask"] == ref["attention_mask"]
+    assert ours["token_type_ids"] == ref["token_type_ids"]
+
+
+def test_encode_pair_matches_hf(tok, hf_tok):
+    a, b = "the quick brown fox jumps over the lazy dog", "a cat sat on a mat"
+    ours = tok.encode(a, b, max_length=16)
+    ref = hf_tok(a, b, padding="max_length", truncation=True, max_length=16)
+    assert ours["input_ids"] == ref["input_ids"]
+    assert ours["token_type_ids"] == ref["token_type_ids"]
+
+
+def test_added_token_survives(tok):
+    # reference adds "$T$" as a placeholder token (experiments/clsf_vault.py:99-100)
+    t = WordPieceTokenizer(VOCAB_DICT)
+    t.add_tokens(["$T$"])
+    toks = t.tokenize("the $T$ jumps")
+    assert "$T$" in toks
+    ids = t.convert_tokens_to_ids(toks)
+    assert t.added_tokens["$T$"] in ids
+
+
+def test_target_size_matches_hf_rule():
+    from transformers.models.vilt.image_processing_vilt import (
+        get_resize_output_image_size,
+    )
+
+    for h, w in [(480, 640), (640, 480), (384, 384), (1000, 300), (300, 1000),
+                 (127, 512), (2000, 150)]:
+        img = np.zeros((3, h, w), np.uint8)
+        ref = get_resize_output_image_size(img, shorter=384,
+                                           longer=int(1333 / 800 * 384),
+                                           size_divisor=32,
+                                           input_data_format="channels_first")
+        assert target_size(h, w) == tuple(ref), (h, w)
+
+
+def test_safe_aspect_crop_bounds_ratio():
+    img = np.random.default_rng(0).integers(0, 255, (40, 4000, 3)).astype(np.uint8)
+    out = safe_aspect_crop(img)
+    h, w = out.shape[:2]
+    assert max(h / w, w / h) <= MAX_ASPECT_RATIO + 1e-6
+    # and the resulting grid never collapses to zero patches
+    th, tw = target_size(h, w)
+    assert th >= 32 and tw >= 32
+
+
+def test_relative_random_crop():
+    rng = np.random.default_rng(0)
+    img = np.zeros((100, 200, 3), np.uint8)
+    out = relative_random_crop(rng, img, 0.9)
+    assert out.shape[:2] == (90, 180)
+
+
+def test_resize_normalize_range():
+    img = np.full((64, 64, 3), 255, np.uint8)
+    out = resize_normalize(img, (32, 32))
+    assert out.shape == (3, 32, 32)
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)  # (255/255 - .5)/.5 = 1
+
+
+def test_pad_batch_masks():
+    a = np.ones((3, 64, 96), np.float32)
+    b = np.ones((3, 32, 64), np.float32)
+    pv, pm = pad_batch([a, b])
+    assert pv.shape == (2, 3, 64, 96)
+    assert pm[1, :32, :64].all() and not pm[1, 32:].any()
+
+
+def test_processor_end_to_end(tok):
+    proc = VaultProcessor(tok, max_length=12)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (480, 640, 3)).astype(np.uint8),
+            rng.integers(0, 255, (640, 480, 3)).astype(np.uint8)]
+    enc = proc(imgs, ["the quick fox", "a lazy dog"])
+    assert enc["input_ids"].shape == (2, 12)
+    assert enc["pixel_values"].shape == (2, 3, 608, 608)
+    assert enc["pixel_mask"].shape == (2, 608, 608)
+    # first image resizes to 384x512 -> mask valid region matches
+    assert enc["pixel_mask"][0, :384, :512].all()
+    assert not enc["pixel_mask"][0, :, 512:].any()

@@ -1,0 +1,140 @@
+"""Image pipeline: ViltProcessor-equivalent resize/normalize/pad, TPU-first.
+
+Replaces two layers of the reference stack:
+  * HF ``ViltImageProcessor``: shortest-edge resize to 384 with the longer
+    side capped at 384*1333/800, both floored to multiples of 32; rescale
+    1/255; normalize mean=std=0.5 (SURVEY.md §2.7; call site
+    vault/models/vault/processor.py:12).
+  * ``safe_dict_concat`` batch collation: zero-pad heterogeneous HxW images
+    to the per-batch max and emit a pixel_mask
+    (vault/vl_utils/dataset_utils.py:7-36).
+
+TPU-first addition: ``pad_to_canvas`` pads every image to one *static* canvas
+(default 384x640 — the max ViltProcessor geometry) so jitted programs see a
+single shape across all batches instead of one recompile per batch geometry.
+
+Resize uses ``jax.image.resize`` (bicubic + antialiasing, matching PIL's
+default resample family); tiny filter differences vs PIL are well inside the
+model's 1e-3 output budget and are covered by the processor tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SHORTER = 384
+LONGER = int(1333 / 800 * 384)  # 639
+SIZE_DIVISOR = 32
+IMAGE_MEAN = 0.5
+IMAGE_STD = 0.5
+# Max canvas under the ViltProcessor geometry: one side 384, the other <= 639
+# floored to /32 => 608.  The square 608x608 covers BOTH orientations with one
+# static shape; any single image occupies at most 12x19=228 patches of it, and
+# the model's valid-first patch gather (vault_tpu/models/vilt.py visual_embed)
+# compresses those into the static num_patch_tokens budget, so the encoder
+# sequence length does not grow with the canvas — only the cheap patch conv
+# does.
+DEFAULT_CANVAS = (608, 608)
+
+# Reference safe-preprocess threshold (vault/models/vault/utils.py:38): crop
+# when aspect ratio exceeds (384/32)*(1333/800) so the /32 floor can't zero a
+# patch-grid side.
+MAX_ASPECT_RATIO = 384 / 32 * 1333 / 800
+
+
+def target_size(height: int, width: int, shorter: int = SHORTER,
+                longer: int = LONGER, divisor: int = SIZE_DIVISOR) -> Tuple[int, int]:
+    """HF get_resize_output_image_size semantics (image_processing_vilt.py:92-120)."""
+    scale = shorter / min(height, width)
+    if height < width:
+        nh, nw = shorter, scale * width
+    else:
+        nh, nw = scale * height, shorter
+    if max(nh, nw) > longer:
+        s = longer / max(nh, nw)
+        nh, nw = s * nh, s * nw
+    nh, nw = int(nh + 0.5), int(nw + 0.5)
+    return (nh // divisor) * divisor, (nw // divisor) * divisor
+
+
+def safe_aspect_crop(image: np.ndarray) -> np.ndarray:
+    """Center-crop the larger side when the aspect ratio exceeds
+    MAX_ASPECT_RATIO — the reference's ``vilt_safe_image_preprocess``
+    (vault/models/vault/utils.py:17-48).  image: (H, W, C) array."""
+    h, w = image.shape[:2]
+    if max(w / h, h / w) <= MAX_ASPECT_RATIO:
+        return image
+    if h > w:
+        new_h = int(w * MAX_ASPECT_RATIO)
+        top = (h - new_h) // 2
+        return image[top:top + new_h]
+    new_w = int(h * MAX_ASPECT_RATIO)
+    left = (w - new_w) // 2
+    return image[:, left:left + new_w]
+
+
+def relative_random_crop(rng: np.random.Generator, image: np.ndarray,
+                         ratio: float = 0.9) -> np.ndarray:
+    """Random crop to ``ratio`` of each side — train-time augmentation
+    (vault/models/vault/utils.py:51-57)."""
+    h, w = image.shape[:2]
+    ch, cw = int(ratio * h), int(ratio * w)
+    top = int(rng.integers(0, h - ch + 1))
+    left = int(rng.integers(0, w - cw + 1))
+    return image[top:top + ch, left:left + cw]
+
+
+def resize_normalize(image: np.ndarray, out_hw: Tuple[int, int],
+                     mean: float = IMAGE_MEAN, std: float = IMAGE_STD) -> np.ndarray:
+    """(H, W, C) uint8/float -> (C, out_h, out_w) float32 normalized."""
+    img = jnp.asarray(image, jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = jnp.tile(img, (1, 1, 3))
+    elif img.shape[-1] == 4:  # RGBA -> RGB (reference tolerates both,
+        img = img[..., :3]    # vault/tmsc_utils/dataset.py:285-320)
+    resized = jax.image.resize(img, (*out_hw, img.shape[-1]), method="bicubic",
+                               antialias=True)
+    out = (resized / 255.0 - mean) / std
+    return np.asarray(out.transpose(2, 0, 1), np.float32)
+
+
+def preprocess_image(image: np.ndarray, safe: bool = True,
+                     augment_rng: Optional[np.random.Generator] = None,
+                     crop_ratio: float = 0.9) -> np.ndarray:
+    """Full single-image path: [safe-crop] -> [random-crop] -> resize+normalize."""
+    if safe:
+        image = safe_aspect_crop(np.asarray(image))
+    if augment_rng is not None:
+        image = relative_random_crop(augment_rng, np.asarray(image), crop_ratio)
+    h, w = np.asarray(image).shape[:2]
+    return resize_normalize(np.asarray(image), target_size(h, w))
+
+
+def pad_batch(images: Sequence[np.ndarray],
+              canvas: Optional[Tuple[int, int]] = None):
+    """Collate (C, H_i, W_i) images: zero-pad to the batch max (reference
+    ``safe_dict_concat`` semantics) or to a fixed ``canvas`` (TPU static-shape
+    mode).  Returns (pixel_values (B,C,H,W) f32, pixel_mask (B,H,W) i32)."""
+    if canvas is None:
+        max_h = max(im.shape[1] for im in images)
+        max_w = max(im.shape[2] for im in images)
+    else:
+        max_h, max_w = canvas
+    b = len(images)
+    c = images[0].shape[0]
+    pixel_values = np.zeros((b, c, max_h, max_w), np.float32)
+    pixel_mask = np.zeros((b, max_h, max_w), np.int32)
+    for i, im in enumerate(images):
+        _, h, w = im.shape
+        if h > max_h or w > max_w:
+            raise ValueError(f"image {i} ({h}x{w}) exceeds canvas {max_h}x{max_w}")
+        pixel_values[i, :, :h, :w] = im
+        pixel_mask[i, :h, :w] = 1
+    return pixel_values, pixel_mask

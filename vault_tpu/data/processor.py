@@ -1,0 +1,72 @@
+"""VaultProcessor: joint text+image preprocessing.
+
+Reference: ``VaultProcessor.from_pretrained`` builds a ViltProcessor whose
+text tokenizer is swapped for the BERT tower's (vault/models/vault/
+processor.py:6-18), producing ``input_ids / attention_mask / token_type_ids /
+pixel_values / pixel_mask``.  Here the processor owns a tokenizer (our native
+WordPiece, or any object exposing ``batch_encode``/HF ``__call__``) and the
+jax image pipeline (vault_tpu/data/image.py).
+
+TPU-first: ``canvas`` pins pixel_values to one static shape across batches so
+the jitted model never recompiles on image geometry (the reference instead
+pads per-batch via safe_dict_concat, vault/vl_utils/dataset_utils.py:7-36 —
+that dynamic-shape behavior is available with ``canvas=None``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vault_tpu.data.image import DEFAULT_CANVAS, pad_batch, preprocess_image
+
+
+class VaultProcessor:
+    def __init__(self, tokenizer, max_length: int = 40,
+                 canvas: Optional[Tuple[int, int]] = DEFAULT_CANVAS,
+                 safe_images: bool = True):
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.canvas = canvas
+        self.safe_images = safe_images
+
+    def encode_text(self, texts: Sequence[str],
+                    text_pairs: Optional[Sequence[Optional[str]]] = None,
+                    max_length: Optional[int] = None) -> Dict[str, np.ndarray]:
+        max_length = max_length or self.max_length
+        if hasattr(self.tokenizer, "batch_encode"):
+            return self.tokenizer.batch_encode(
+                list(texts), text_pairs, max_length=max_length)
+        # HF tokenizer fallback (BERTweet etc.)
+        kw = dict(padding="max_length", truncation=True, max_length=max_length,
+                  return_tensors="np")
+        if text_pairs is not None and any(p is not None for p in text_pairs):
+            enc = self.tokenizer(list(texts), list(text_pairs), **kw)
+        else:
+            enc = self.tokenizer(list(texts), **kw)
+        out = {k: np.asarray(v, np.int32) for k, v in enc.items()
+               if k in ("input_ids", "attention_mask", "token_type_ids")}
+        if "token_type_ids" not in out:
+            out["token_type_ids"] = np.zeros_like(out["input_ids"])
+        return out
+
+    def encode_images(self, images: Sequence[np.ndarray],
+                      augment_rng: Optional[np.random.Generator] = None):
+        processed = [preprocess_image(im, safe=self.safe_images,
+                                      augment_rng=augment_rng)
+                     for im in images]
+        return pad_batch(processed, canvas=self.canvas)
+
+    def __call__(self, images, texts, text_pairs=None,
+                 augment_rng: Optional[np.random.Generator] = None,
+                 max_length: Optional[int] = None) -> Dict[str, np.ndarray]:
+        if isinstance(texts, str):
+            texts = [texts]
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        enc = self.encode_text(texts, text_pairs, max_length)
+        pixel_values, pixel_mask = self.encode_images(images, augment_rng)
+        enc["pixel_values"] = pixel_values
+        enc["pixel_mask"] = pixel_mask
+        return enc
