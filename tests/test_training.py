@@ -1,0 +1,256 @@
+"""Training-stack tests: HF-AdamW semantics, schedule parity, metric parity
+with sklearn, end-to-end loss descent on the tiny VAuLT model, DP-mesh
+equivalence, early stopping + experiment-log layout, checkpoint round-trip.
+(SURVEY.md §4 proposed strategy items (d) and (e).)"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.models.vault import (
+    init_classifier_head,
+    init_vault,
+    vault_for_classification,
+)
+from vault_tpu.parallel.mesh import make_mesh
+from vault_tpu.training.experiment import ExperimentHandler
+from vault_tpu.training.losses import bce_with_logits, softmax_cross_entropy
+from vault_tpu.training.metrics import accuracy, precision_recall_fscore
+from vault_tpu.training.optimizer import hf_adamw, linear_warmup_linear_decay
+from vault_tpu.training.trainer import TrainArgs, Trainer
+from vault_tpu.data.loader import InMemoryDataset
+
+
+# ---------------------------------------------------------------- optimizer
+
+def test_hf_adamw_matches_torch_adamw_correct_bias():
+    # With correct_bias=True and weight_decay=0, HF AdamW == torch.optim.AdamW.
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    tp = torch.nn.Parameter(torch.tensor(w0.copy()))
+    topt = torch.optim.AdamW([tp], lr=1e-2, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=0.0)
+    params = {"w": jnp.asarray(w0)}
+    tx = hf_adamw(1e-2, 0.9, 0.999, 1e-8, 0.0, correct_bias=True)
+    state = tx.init(params)
+    for i in range(5):
+        g = np.random.default_rng(i + 10).normal(size=(4, 3)).astype(np.float32)
+        tp.grad = torch.tensor(g)
+        topt.step()
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + upd["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               atol=1e-6)
+
+
+def test_hf_adamw_no_bias_correction():
+    # correct_bias=False (the reference's default): first step must be
+    # -lr * m / (sqrt(v) + eps) with NO bias-correction rescale.
+    params = {"w": jnp.zeros((2,))}
+    tx = hf_adamw(0.1, 0.9, 0.999, 1e-8, 0.0, correct_bias=False)
+    state = tx.init(params)
+    g = jnp.array([1.0, -1.0])
+    upd, _ = tx.update({"w": g}, state, params)
+    m = 0.1 * np.asarray(g)
+    v = 0.001 * np.asarray(g) ** 2
+    expected = -0.1 * m / (np.sqrt(v) + 1e-8)
+    np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-5)
+
+
+def test_schedule_matches_hf():
+    from transformers import get_linear_schedule_with_warmup
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = get_linear_schedule_with_warmup(opt, num_warmup_steps=4,
+                                            num_training_steps=20)
+    ours = linear_warmup_linear_decay(1.0, 4, 20)
+    for step in range(20):
+        lr_ref = opt.param_groups[0]["lr"]
+        assert abs(float(ours(step)) - lr_ref) < 1e-6, step
+        opt.step()
+        sched.step()
+
+
+# ------------------------------------------------------------------ metrics
+
+def test_metrics_match_sklearn():
+    from sklearn.metrics import precision_recall_fscore_support
+
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(0, 4, 200)
+    y_pred = rng.integers(0, 4, 200)
+    for avg in ("macro", "micro", "weighted"):
+        ref = precision_recall_fscore_support(y_true, y_pred, average=avg,
+                                              zero_division=0)[:3]
+        ours = precision_recall_fscore(y_true, y_pred, avg)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+    assert accuracy(y_true, y_pred) == np.mean(y_true == y_pred)
+
+
+# ------------------------------------------------------------------- losses
+
+def test_ce_matches_torch():
+    logits = np.random.default_rng(0).normal(size=(8, 3)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(0, 3, 8)
+    ref = torch.nn.CrossEntropyLoss()(torch.tensor(logits), torch.tensor(labels))
+    ours = softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    assert abs(float(ours) - float(ref)) < 1e-6
+
+
+def test_bce_matches_torch():
+    logits = np.random.default_rng(0).normal(size=(8, 1)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(0, 2, (8, 1)).astype(np.float32)
+    ref = torch.nn.BCEWithLogitsLoss()(torch.tensor(logits), torch.tensor(labels))
+    ours = bce_with_logits(jnp.asarray(logits), jnp.asarray(labels))
+    assert abs(float(ours) - float(ref)) < 1e-6
+
+
+def test_weighted_loss_ignores_padding():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)), jnp.float32)
+    labels = jnp.array([0, 1, 2, 0])
+    full = softmax_cross_entropy(logits[:2], labels[:2])
+    weighted = softmax_cross_entropy(logits, labels,
+                                     weight=jnp.array([1.0, 1.0, 0.0, 0.0]))
+    assert abs(float(full) - float(weighted)) < 1e-6
+
+
+# ------------------------------------------------- end-to-end training slice
+
+def _toy_setup(n=48, seed=0):
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=8),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    rng = np.random.default_rng(seed)
+    n_classes = 3
+    labels = rng.integers(0, n_classes, n)
+    # make the task learnable: class determines the first token id
+    ids = rng.integers(5, cfg.text_tower.vocab_size, (n, 8))
+    ids[:, 0] = labels + 1
+    feats = {
+        "input_ids": ids.astype(np.int32),
+        "attention_mask": np.ones((n, 8), np.int32),
+        "token_type_ids": np.zeros((n, 8), np.int32),
+        "pixel_values": rng.normal(size=(n, 3, 32, 32)).astype(np.float32),
+        "pixel_mask": np.ones((n, 32, 32), np.int32),
+    }
+    params = init_vault(jax.random.PRNGKey(seed), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(seed + 1),
+                                          cfg.vilt.hidden_size, n_classes)
+
+    def apply_fn(p, batch, deterministic, rng):
+        return vault_for_classification(p, cfg, batch, head_dropout=0.1,
+                                        deterministic=deterministic, rng=rng)
+
+    return cfg, params, apply_fn, feats, labels
+
+
+def test_train_descends_and_logs(tmp_path):
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    ds = InMemoryDataset(feats, labels, name="toy(train)")
+    args = TrainArgs(lr=5e-3, train_batch_size=16, eval_batch_size=16,
+                     num_train_epochs=6, early_stopping_patience=None, seed=0)
+    handler = ExperimentHandler(str(tmp_path), "ToyExp")
+    handler.set_params({"lr": args.lr, "dataset": "toy(train,dev)"})
+    handler.set_name_params(["dataset"])
+    trainer = Trainer(apply_fn, params, args, ds, dev_dataset=ds,
+                      test_dataset=ds, exp_handler=handler)
+    trainer.train()
+
+    losses = handler._series["train_loss"]
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert handler._series["eval_accuracy"][-1] > 0.6
+
+    d = handler.directory()
+    assert os.path.basename(d) == "toy(train;dev)_0"  # sanitized "," -> ";"
+    for fname in ("metrics.yml", "params.yml", "aggregated_metrics.yml", "obj.pkl"):
+        assert os.path.exists(os.path.join(d, fname)), fname
+    assert os.path.exists(os.path.join(d, "plots", "train_loss.png"))
+    assert "test_eval_accuracy" in handler._finals
+
+
+def test_dp_mesh_matches_single_device():
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    ds = InMemoryDataset(feats, labels)
+    results = {}
+    for shards in (1, 8):
+        p = jax.device_get(params)
+        args = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=1,
+                         num_data_shards=shards, seed=0)
+        tr = Trainer(apply_fn, jax.tree.map(jnp.asarray, p), args,
+                     InMemoryDataset(feats, labels), exp_handler=ExperimentHandler("/tmp/dp_test", f"s{shards}"))
+        tr._build_steps(3)
+        batch = {k: v[:16] for k, v in feats.items()}
+        b, l, w = tr._pad(batch, labels[:16])
+        from vault_tpu.parallel.mesh import shard_batch
+        newp, _, loss = tr._train_step(tr.params, tr.opt_state,
+                                       shard_batch(tr.mesh, b),
+                                       shard_batch(tr.mesh, l),
+                                       shard_batch(tr.mesh, w),
+                                       jax.random.PRNGKey(1))
+        results[shards] = (float(loss), jax.device_get(newp))
+    assert abs(results[1][0] - results[8][0]) < 1e-5
+    flat1 = jax.tree.leaves(results[1][1])
+    flat8 = jax.tree.leaves(results[8][1])
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_uneven_batch_padding():
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=19)  # 19 % 8 != 0
+    ds = InMemoryDataset(feats, labels)
+    args = TrainArgs(lr=1e-3, train_batch_size=8, num_train_epochs=1,
+                     num_data_shards=8, seed=0)
+    tr = Trainer(apply_fn, params, args, ds, dev_dataset=ds,
+                 exp_handler=ExperimentHandler("/tmp/pad_test", "x"))
+    tr.train()  # must not crash on the 3-example final batch
+
+
+def test_early_stopping_restores_best(tmp_path):
+    from vault_tpu.training.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=2, higher_better=True)
+    assert not es.step(0.5, params={"w": jnp.ones(2)}, step=1)
+    assert not es.step(0.4, params={"w": jnp.zeros(2)}, step=2)
+    assert es.step(0.3, params={"w": jnp.zeros(2)}, step=3)  # patience hit
+    assert es.best == 0.5
+    np.testing.assert_allclose(es.best_params["w"], np.ones(2))
+    assert es.get_metrics()["best_step"] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+
+    tree = {"a": {"b": np.arange(6).reshape(2, 3).astype(np.float32)},
+            "c": np.ones(4)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, tree)
+    zero = jax.tree.map(np.zeros_like, tree)
+    out = restore_checkpoint(path, zero)
+    np.testing.assert_allclose(out["a"]["b"], tree["a"]["b"])
+
+
+def test_experiment_aggregation(tmp_path):
+    for rep in range(3):
+        h = ExperimentHandler(str(tmp_path), "Agg")
+        h.set_params({"lr": 1.0, "ds": "d"})
+        h.set_name_params(["ds"])
+        h.set_dict_metrics({"train_loss": 1.0 - 0.1 * rep})
+        h.set_dict_metrics({"eval_accuracy": 0.7 + 0.01 * rep}, test=True)
+        h.log()
+        h.aggregate_results()
+    import yaml
+    d = h.directory()
+    with open(os.path.join(d, "metrics.yml")) as f:
+        runs = yaml.safe_load(f)
+    assert set(runs) == {"experiment_0", "experiment_1", "experiment_2"}
+    with open(os.path.join(d, "aggregated_metrics.yml")) as f:
+        agg = yaml.safe_load(f)
+    assert "test_eval_accuracy" in agg[""]
+    mean = float(agg[""]["test_eval_accuracy"].split("+-")[0])
+    assert abs(mean - 0.71) < 1e-6

@@ -1,0 +1,79 @@
+"""Dataset protocol + in-memory dataset.
+
+Trainer contract (replacing torch DataLoader + collate_fn,
+vault/tmsc_utils/trainer.py:290-310): a dataset exposes
+``num_examples``, ``num_batches(bs)`` and ``batches(bs, shuffle, rng)``
+yielding ``(features_dict, labels)`` numpy batches.  Preprocessing happens
+once up front (eager, like the reference's default) or per-fetch via a
+transform hook (the reference's ``preprocess_on_fetch`` augmentation mode,
+vault/models/vault/dataset.py:249-318)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class InMemoryDataset:
+    """Features pre-encoded as arrays; optional per-batch transform for
+    train-time augmentation."""
+
+    def __init__(self, features: Dict[str, np.ndarray], labels: np.ndarray,
+                 name: str = "dataset",
+                 batch_transform: Optional[Callable] = None):
+        self.features = {k: np.asarray(v) for k, v in features.items()}
+        self.labels = np.asarray(labels)
+        self.name = name
+        self.batch_transform = batch_transform
+        n = {v.shape[0] for v in self.features.values()} | {self.labels.shape[0]}
+        assert len(n) == 1, f"inconsistent example counts {n}"
+
+    @property
+    def num_examples(self) -> int:
+        return self.labels.shape[0]
+
+    def num_batches(self, batch_size: int) -> int:
+        return (self.num_examples + batch_size - 1) // batch_size
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None
+                ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+        idx = np.arange(self.num_examples)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(idx)
+        for start in range(0, self.num_examples, batch_size):
+            sel = idx[start:start + batch_size]
+            feats = {k: v[sel] for k, v in self.features.items()}
+            labels = self.labels[sel]
+            if self.batch_transform is not None:
+                feats, labels = self.batch_transform(feats, labels)
+            yield feats, labels
+
+
+class LazyDataset:
+    """Per-fetch encoding (images decoded/augmented at batch time) — the
+    reference's lazy mode (vault/vl_utils/dataset.py:148-158) for datasets too
+    big to pre-encode, or when augmentation must resample each epoch."""
+
+    def __init__(self, encode_batch: Callable[[Sequence[int], bool], Tuple[Dict, np.ndarray]],
+                 num: int, name: str = "dataset"):
+        self.encode_batch = encode_batch
+        self._num = num
+        self.name = name
+
+    @property
+    def num_examples(self) -> int:
+        return self._num
+
+    def num_batches(self, batch_size: int) -> int:
+        return (self._num + batch_size - 1) // batch_size
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None):
+        idx = np.arange(self._num)
+        train = shuffle
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(idx)
+        for start in range(0, self._num, batch_size):
+            yield self.encode_batch(idx[start:start + batch_size].tolist(), train)

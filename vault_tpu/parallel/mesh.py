@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers — the framework's communication layer.
+
+The reference has NO distributed backend (SURVEY.md §2.8): its only
+model-parallel construct is the dormant 2-stage PipelineVaultMixin and its
+data movement is explicit ``.to(device)``.  Here parallelism is first-class:
+a ``jax.sharding.Mesh`` over which pjit partitions the train step; XLA emits
+the ICI collectives (psum for DP gradients) automatically.
+
+Axes:
+  * "data"  — batch sharding (DP); the BASELINE.json north star path.
+  * "model" — reserved for tensor-parallel param sharding (hidden/intermediate
+    dims); kept size 1 by default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    use = np.array(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(use, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Host batch dict -> device arrays sharded along axis 0 over "data"."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(batch, multiple: int):
+    """Pad every leading axis to a multiple of the mesh's data-axis size so
+    uneven final batches still shard.  Returns (padded_batch, real_count)."""
+    import numpy as np  # host-side only
+
+    sizes = {x.shape[0] for x in jax.tree.leaves(batch)}
+    assert len(sizes) == 1, f"inconsistent batch dims {sizes}"
+    n = sizes.pop()
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch, n
+    def pad(x):
+        widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+    return jax.tree.map(pad, batch), n

@@ -1,0 +1,56 @@
+"""Checkpointing: {params, opt_state, step} persistence.
+
+Strict superset of the reference's weights-only saves
+(vault/train_utils.py:127-140 tempfile snapshots; trainer ``--model_save`` /
+``--model_load_filename`` warm starts, vault/tmsc_utils/trainer.py:145-159).
+Storage is a flat npz keyed by pytree paths (orbax is available in the image
+but npz keeps restarts dependency-free and human-debuggable)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+import jax
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(path: str, tree: Any):
+    flat = _flatten(jax.device_get(tree))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the structure of ``target`` (shapes validated)."""
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            vals = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+            return type(tree)(vals)
+        key = prefix.rstrip("/")
+        arr = data[key]
+        if arr.shape != np.shape(tree):
+            raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "
+                             f"target {np.shape(tree)}")
+        return arr
+
+    return rebuild(target)

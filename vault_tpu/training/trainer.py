@@ -1,0 +1,307 @@
+"""The training loop: functional, jitted, mesh-data-parallel.
+
+Behavior mirrors the reference's ``Twitter201XTrainer.train`` /
+``evaluate`` (vault/tmsc_utils/trainer.py:282-484): AdamW + linear
+warmup/decay, per-``eval_steps`` windowed train loss, dev evaluation, early
+stopping with best-weights restore, ``max_steps`` abort, final test eval,
+then ExperimentHandler log/aggregate/plot.
+
+TPU-native differences:
+  * one jitted, donated train step (forward+backward+update) compiled once,
+    sharded over the mesh "data" axis; XLA inserts the gradient psum;
+  * early stopping keeps best params as a host-side pytree snapshot instead
+    of a tempfile (vault/train_utils.py:127-140), and checkpoints persist via
+    orbax-compatible npz (``save_checkpoint``) including {params, opt_state,
+    step} — a strict superset of the reference's weights-only save;
+  * uneven final batches are padded to the DP multiple and masked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from vault_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from vault_tpu.training import losses as losses_mod
+from vault_tpu.training.experiment import ExperimentHandler
+from vault_tpu.training.metrics import classification_results
+from vault_tpu.training.optimizer import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainArgs:
+    """Reference knobs (vault/tmsc_utils/trainer.py:51-91 argparse_args +
+    vault/train_utils.py:178-285 MyTrainingArguments), TPU additions at the
+    end."""
+
+    lr: float = 2e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    weight_decay: float = 0.0
+    correct_bias: bool = False
+    train_batch_size: int = 32
+    eval_batch_size: int = 32
+    num_train_epochs: int = 10
+    warmup_ratio: float = 0.1
+    eval_steps: Optional[int] = None          # default: once per epoch
+    max_steps: int = -1
+    early_stopping_patience: Optional[int] = None
+    early_stopping_metric: str = "eval_accuracy"
+    higher_better: bool = True
+    model_save: bool = False
+    model_load_filename: Optional[str] = None
+    seed: int = 0
+    # TPU-native:
+    num_data_shards: Optional[int] = None     # default: all devices
+    use_pallas: bool = False
+    remat: bool = False
+    compute_dtype: str = "float32"
+
+
+class EarlyStopping:
+    """Patience/delta/higher-better tracking with best-weights snapshot
+    (behavioral port of vault/train_utils.py:13-171; snapshot lives on host
+    memory, not a tempfile)."""
+
+    def __init__(self, patience: Optional[int], delta: float = 0.0,
+                 higher_better: bool = False, keep_weights: bool = True):
+        self.patience = patience
+        self.delta = delta
+        self.higher_better = higher_better
+        self.keep_weights = keep_weights
+        self.cnt = 0
+        self.best: Optional[float] = None
+        self.best_metrics: Dict[str, Any] = {}
+        self.best_params = None
+
+    def new_best(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.higher_better:
+            return metric > self.best + self.delta
+        return metric < self.best - self.delta
+
+    def step(self, metric: Optional[float], params=None, **metrics) -> bool:
+        if metric is None or self.patience is None:
+            if params is not None and self.keep_weights:
+                self.best_params = jax.device_get(params)
+            return False
+        if self.new_best(metric):
+            self.best = metric
+            self.best_metrics = {f"best_{k}": v for k, v in metrics.items()}
+            self.cnt = 0
+            if params is not None and self.keep_weights:
+                self.best_params = jax.device_get(params)
+        else:
+            self.cnt += 1
+        return self.cnt >= self.patience
+
+    def get_metrics(self) -> Optional[Dict[str, Any]]:
+        return self.best_metrics if self.best is not None else None
+
+
+class Trainer:
+    """Generic task trainer.  Task adapters override the hooks at the bottom
+    (the reference's input_batch_kwargs / calculate_loss /
+    get_eval_preds_from_batch / evaluation_metrics pattern, SURVEY.md §1)."""
+
+    def __init__(self, apply_fn: Callable, params, args: TrainArgs,
+                 train_dataset, dev_dataset=None, test_dataset=None,
+                 exp_handler: Optional[ExperimentHandler] = None,
+                 mesh=None):
+        self.apply_fn = apply_fn
+        self.args = args
+        self.train_dataset = train_dataset
+        self.dev_dataset = dev_dataset
+        self.test_dataset = test_dataset
+        self.exp_handler = exp_handler or ExperimentHandler()
+        self.mesh = mesh if mesh is not None else make_mesh(args.num_data_shards)
+        self.dp = int(self.mesh.shape["data"])
+        self.params = replicate(self.mesh, params)
+        self.early_stopping = EarlyStopping(
+            args.early_stopping_patience, higher_better=args.higher_better)
+        self._train_step = None
+        self._eval_step = None
+        self.step_times: List[float] = []
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self, steps_per_epoch: int):
+        a = self.args
+        num_steps = max(1, steps_per_epoch * int(a.num_train_epochs))
+        tx, self._schedule = make_optimizer(
+            a.lr, num_steps, a.warmup_ratio, a.adam_beta1, a.adam_beta2,
+            a.adam_epsilon, a.weight_decay, a.correct_bias)
+        self.tx = tx
+        self.opt_state = replicate(self.mesh, tx.init(jax.device_get(self.params)))
+
+        rep = replicated(self.mesh)
+        dat = batch_sharding(self.mesh)
+
+        def train_step(params, opt_state, batch, labels, weight, rng):
+            def loss_fn(p):
+                logits = self.apply_fn(p, batch, deterministic=False, rng=rng)
+                return self.calculate_loss(logits, labels, weight, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def eval_step(params, batch, labels, weight):
+            logits = self.apply_fn(params, batch, deterministic=True, rng=None)
+            loss = self.calculate_loss(logits, labels, weight, train=False)
+            return logits, loss
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, dat, dat, dat, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        self._eval_step = jax.jit(
+            eval_step, in_shardings=(rep, dat, dat, dat), out_shardings=(rep, rep))
+
+    # ----------------------------------------------------------------- loop
+    def train(self):
+        a = self.args
+        if a.model_load_filename:
+            self.load_weights(a.model_load_filename)
+        steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
+        eval_steps = a.eval_steps or steps_per_epoch
+        self._build_steps(steps_per_epoch)
+
+        rng = jax.random.PRNGKey(a.seed)
+        data_rng = np.random.default_rng(a.seed)
+        early_stop = False
+        step = 0
+        for epoch in range(int(a.num_train_epochs)):
+            if early_stop:
+                break
+            for batch, labels in self.train_dataset.batches(
+                    a.train_batch_size, shuffle=True, rng=data_rng):
+                if a.max_steps > 0 and step >= a.max_steps:
+                    logger.info("Forcibly stopping training")
+                    early_stop = True
+                    break
+                if step % eval_steps == 0:
+                    window_loss, window_n = 0.0, 0
+
+                n = labels.shape[0]
+                batch, labels, weight = self._pad(batch, labels)
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.perf_counter()
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state,
+                    shard_batch(self.mesh, batch),
+                    shard_batch(self.mesh, labels),
+                    shard_batch(self.mesh, weight), step_rng)
+                loss = float(loss)
+                self.step_times.append(time.perf_counter() - t0)
+                window_loss += loss * n
+                window_n += n
+
+                if (step + 1) % eval_steps == 0:
+                    results = dict(train_loss=window_loss / max(window_n, 1))
+                    if self.dev_dataset is not None:
+                        results.update(self.evaluate(self.dev_dataset))
+                    self.exp_handler.set_dict_metrics(results)
+                    logger.info("step %d (epoch %d): %s", step + 1, epoch + 1, results)
+                    early_stop = self.early_stopping.step(
+                        results.get(a.early_stopping_metric), params=self.params,
+                        **{**results, "epoch": epoch + 1,
+                           "step": (step + 1) // eval_steps})
+                    if early_stop:
+                        logger.info("Early stopping at step %d", step + 1)
+                        break
+                step += 1
+
+        best = self.early_stopping.get_metrics()
+        if best is not None:
+            self.exp_handler.set_best(best)
+        if self.early_stopping.best_params is not None:
+            self.params = replicate(self.mesh, self.early_stopping.best_params)
+
+        if self.test_dataset is not None:
+            results = self.evaluate(self.test_dataset)
+            self.exp_handler.set_dict_metrics(results, test=True)
+            logger.info("test: %s", results)
+
+        self.train_end()
+        return self.params
+
+    def train_end(self):
+        self.exp_handler.log()
+        if self.args.model_save:
+            self.save_weights(self.exp_handler.model_save_filename)
+        self.exp_handler.aggregate_results()
+        self.exp_handler.plot()
+
+    def evaluate(self, dataset) -> Dict[str, float]:
+        a = self.args
+        if self._eval_step is None:
+            self._build_steps(max(1, self.train_dataset.num_batches(a.train_batch_size)))
+        total_loss, preds, trues = 0.0, [], []
+        for batch, labels in dataset.batches(a.eval_batch_size, shuffle=False):
+            n = labels.shape[0]
+            batch_p, labels_p, weight = self._pad(batch, labels)
+            logits, loss = self._eval_step(
+                self.params, shard_batch(self.mesh, batch_p),
+                shard_batch(self.mesh, labels_p), shard_batch(self.mesh, weight))
+            total_loss += float(loss) * n
+            logits = np.asarray(logits)[:n]
+            preds.extend(self.get_eval_preds(logits))
+            trues.extend(self.get_eval_true(labels))
+        results = dict(eval_loss=total_loss / max(dataset.num_examples, 1))
+        results.update(self.evaluation_metrics(trues, preds))
+        return results
+
+    # -------------------------------------------------------------- helpers
+    def _pad(self, batch, labels):
+        multiple = self.dp
+        merged = {**batch, "__labels__": labels}
+        padded, n = pad_to_multiple(merged, multiple)
+        labels_p = padded.pop("__labels__")
+        total = next(iter(jax.tree.leaves(padded))).shape[0]
+        weight = (np.arange(total) < n).astype(np.float32)
+        return padded, labels_p, weight
+
+    def save_weights(self, path: str):
+        from vault_tpu.training.checkpoint import save_checkpoint
+        save_checkpoint(path, jax.device_get(self.params))
+
+    def load_weights(self, path: str):
+        from vault_tpu.training.checkpoint import restore_checkpoint
+        tree = restore_checkpoint(path, jax.device_get(self.params))
+        self.params = replicate(self.mesh, tree)
+
+    # ------------------------------------------------------- task hooks ---
+    def calculate_loss(self, logits, labels, weight, train: bool):
+        return losses_mod.softmax_cross_entropy(logits, labels, weight)
+
+    def get_eval_preds(self, logits) -> List[int]:
+        return np.argmax(logits, axis=-1).tolist()
+
+    def get_eval_true(self, labels) -> List[int]:
+        return np.asarray(labels).tolist()
+
+    def evaluation_metrics(self, y_true, y_pred) -> Dict[str, float]:
+        return classification_results(y_true, y_pred)
