@@ -1,0 +1,144 @@
+"""Benchmark: VAuLT forward image-text pairs/sec/chip on TPU vs the HF
+PyTorch CPU baseline (BASELINE.json: target >= 5x HF baseline pairs/sec).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+
+Measurement method: the TPU here is reached through a high-latency tunnel
+(~40ms RTT; 20+MB batch uploads cost ~0.5s), so per-call wall timing measures
+the tunnel, not the chip.  We instead jit a ``lax.fori_loop`` that chains K
+forwards (each iteration's input is perturbed by the previous pooled output,
+creating a true data dependency so nothing can be elided/cached) and report
+the K_hi-vs-K_lo slope: (t_hi - t_lo) / (K_hi - K_lo) per step — pure
+device-side throughput, transfers and RTT cancelled.
+
+Both sides run the same geometry: bert-base-uncased tower (12L) + vilt-b32
+co-encoder (12L), batch of image-text pairs at the max ViltProcessor canvas.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
+BATCH = 16
+SEQ = 40
+CANVAS = (384, 608)
+K_LO, K_HI = 2, 22
+TORCH_ITERS = 3
+TORCH_BATCH = 4
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vault_tpu.models.vault import init_vault, vault_apply
+    from vault_tpu.presets import vault_base
+
+    cfg = vault_base("bert-base-uncased")
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size,
+                                              (BATCH, SEQ)), jnp.int32),
+        "attention_mask": jnp.ones((BATCH, SEQ), jnp.int32),
+        "token_type_ids": jnp.zeros((BATCH, SEQ), jnp.int32),
+        "pixel_values": jnp.asarray(rng.normal(size=(BATCH, 3, *CANVAS)),
+                                    jnp.bfloat16),
+        "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
+    }
+
+    def chained(params, batch, k):
+        def body(_, carry):
+            feedback, _ = carry
+            b = dict(batch)
+            # true data dependency on the previous iteration's output
+            b["pixel_values"] = batch["pixel_values"] + feedback
+            out = vault_apply(params, cfg, **b).pooler_output
+            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
+
+        import jax.lax as lax
+        init = (jnp.zeros((), jnp.bfloat16),
+                jnp.zeros((BATCH, cfg.vilt.hidden_size), jnp.bfloat16))
+        _, out = lax.fori_loop(0, k, body, init)
+        return out
+
+    import jax
+    run = jax.jit(chained, static_argnums=(2,))
+
+    def timed(k):
+        np.asarray(run(params, batch, k))  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(params, batch, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(K_LO), timed(K_HI)
+    per_step = (t_hi - t_lo) / (K_HI - K_LO)
+    return BATCH / per_step
+
+
+def bench_torch_baseline():
+    import torch
+    torch.set_num_threads(os.cpu_count() or 8)
+    from transformers import BertConfig, BertModel, ViltConfig, ViltModel
+
+    bert = BertModel(BertConfig(), add_pooling_layer=False).eval()
+    vilt = ViltModel(ViltConfig()).eval()
+    vilt.embeddings.text_embeddings.position_embedding_type = "NOT_absolute"
+
+    rng = np.random.default_rng(0)
+    ids = torch.tensor(rng.integers(0, 30522, (TORCH_BATCH, SEQ)))
+    mask = torch.ones(TORCH_BATCH, SEQ, dtype=torch.long)
+    types = torch.zeros(TORCH_BATCH, SEQ, dtype=torch.long)
+    pixels = torch.tensor(rng.normal(size=(TORCH_BATCH, 3, *CANVAS)).astype(np.float32))
+    pmask = torch.ones(TORCH_BATCH, *CANVAS, dtype=torch.long)
+
+    def fwd():
+        with torch.no_grad():
+            emb = bert(input_ids=ids, attention_mask=mask,
+                       token_type_ids=types).last_hidden_state
+            return vilt(inputs_embeds=emb, attention_mask=mask,
+                        token_type_ids=types, pixel_values=pixels,
+                        pixel_mask=pmask).pooler_output
+
+    fwd()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(TORCH_ITERS):
+        fwd()
+    dt = time.perf_counter() - t0
+    return TORCH_BATCH * TORCH_ITERS / dt
+
+
+def main():
+    tpu_pps = bench_tpu()
+    try:
+        base_pps = bench_torch_baseline()
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        base_pps = None
+    ratio = (tpu_pps / base_pps) if base_pps else None
+    print(json.dumps({
+        "metric": "vault_forward_pairs_per_sec_per_chip",
+        "value": round(tpu_pps, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(ratio, 2) if ratio else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

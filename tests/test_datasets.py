@@ -1,0 +1,219 @@
+"""Dataset-layer tests over synthetic fixture files mirroring the reference
+formats (Twitter-201X TSV, Bloomberg CSV, MVSA labelResultAll.txt)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vault_tpu.data.datasets import (
+    FAIL_IMAGE_BN,
+    Twitter201XDataset,
+    VisionLanguageDataset,
+    load_bloomberg,
+    load_mvsa,
+    read_twitter201x,
+)
+from vault_tpu.data.processor import VaultProcessor
+from vault_tpu.text.preprocess import demojizer_selector, twitter_preprocessor
+from vault_tpu.text.wordpiece import WordPieceTokenizer
+
+VOCAB = ("[PAD] [UNK] [CLS] [SEP] [MASK] the quick fox dog good bad rt "
+         "user url # ! . , great awful nice").split()
+
+
+def _tok():
+    return WordPieceTokenizer({t: i for i, t in enumerate(VOCAB)})
+
+
+def _proc():
+    return VaultProcessor(_tok(), max_length=16, canvas=(64, 64))
+
+
+def _img(path, size=(50, 60), color=(120, 30, 200)):
+    Image.new("RGB", size, color).save(path)
+
+
+@pytest.fixture
+def twitter_dir(tmp_path):
+    d = tmp_path / "twitter2015"
+    imgs = tmp_path / "twitter2015_images"
+    d.mkdir(); imgs.mkdir()
+    rows = [
+        ("1", "0", "a.jpg", "RT @user $T$ is great", "the fox"),
+        ("2", "1", "b.jpg", "$T$ looked bad", "a dog"),
+        ("3", "-1", "missing.jpg", "nothing about $T$", "the quick"),
+    ]
+    for split in ("train", "dev"):
+        with open(d / f"{split}.tsv", "w") as f:
+            f.write("index\t#1 Label\t#2 ImageID\t#3 String\t#3 String\n")
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+    _img(imgs / "a.jpg"); _img(imgs / "b.jpg"); _img(imgs / FAIL_IMAGE_BN)
+    return str(d)
+
+
+def test_read_twitter201x(twitter_dir):
+    ex = read_twitter201x(twitter_dir, "train")
+    assert len(ex) == 3
+    assert ex[0].target == "the fox"
+    ex2 = read_twitter201x(twitter_dir, ["train", "dev"])
+    assert len(ex2) == 6
+
+
+def test_twitter_dataset_encoding_and_fallback(twitter_dir):
+    ds = Twitter201XDataset(twitter_dir, "train", _proc(), max_length=16)
+    # sorted-label mapping: "-1"->0, "0"->1, "1"->2 (reference sorts labels,
+    # vault/tmsc_utils/dataset.py:153-155)
+    assert ds.label_mapping == {"-1": 0, "0": 1, "1": 2}
+    assert ds.name == "twitter2015(train)"
+    assert ds._err_count == 1  # missing.jpg fell back
+    (feats, labels), = list(ds.batches(8))
+    assert feats["input_ids"].shape == (3, 16)
+    assert feats["pixel_values"].shape == (3, 3, 64, 64)
+    assert labels.tolist() == [1, 2, 0]
+    # text is tweet [SEP] target => a mid-sequence [SEP] must exist
+    sep_id = ds.processor.tokenizer.vocab["[SEP]"]
+    row = feats["input_ids"][0].tolist()
+    assert row.count(sep_id) >= 2
+
+
+@pytest.fixture
+def bloomberg_dir(tmp_path):
+    d = tmp_path / "bloomberg"
+    (d / "Twitter_images").mkdir(parents=True)
+    n = 40
+    with open(d / "bloomberg-textimage.csv", "w") as f:
+        f.write("tweet_id,tweet,other,text_is_represented,image_adds\n")
+        for i in range(n):
+            f.write(f"{i},text {i},x,{i % 2},{(i + 1) % 2}\n")
+        for i in range(n):
+            _img(d / "Twitter_images" / f"T{i}.jpg")
+    return str(d), n
+
+
+def test_bloomberg_split_determinism(bloomberg_dir):
+    root, n = bloomberg_dir
+    ids_tr, texts, fns, labels, names = load_bloomberg(
+        root, "train", dev_size=4, test_size=6)
+    ids_dev, _, _, _, _ = load_bloomberg(root, "dev", dev_size=4, test_size=6)
+    ids_te, _, _, _, _ = load_bloomberg(root, "test", dev_size=4, test_size=6)
+    assert len(ids_tr) == n - 10 and len(ids_dev) == 4 and len(ids_te) == 6
+    assert not (set(ids_tr) & set(ids_dev)) and not (set(ids_dev) & set(ids_te))
+    # exact reference draw: python random seed 42
+    expected_eval = random.Random(42).sample(range(n), 10)
+    assert [int(i) for i in ids_dev] == expected_eval[:4]
+    assert names == ["text_is_represented", "image_adds"]
+    assert labels.shape == (n - 10, 1)
+
+
+@pytest.fixture
+def mvsa_dir(tmp_path):
+    d = tmp_path / "MVSA_Single"
+    (d / "data").mkdir(parents=True)
+    rows = [
+        ("1", "positive,positive"),
+        ("2", "negative,positive"),   # inconsistent -> dropped if preprocessed
+        ("3", "neutral,positive"),    # -> positive
+        ("4", "neutral,neutral"),     # -> neutral
+        ("5", "negative,neutral"),    # -> negative
+        ("6", "positive,neutral"),
+        ("7", "neutral,negative"),
+        ("8", "positive,positive"),
+        ("9", "neutral,neutral"),
+        ("10", "negative,negative"),
+    ]
+    with open(d / "labelResultAll.txt", "w") as f:
+        f.write("ID\ttext,image\n")
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+    with open(d / "corrupt_ids.txt", "w") as f:
+        f.write("10\n")
+    for _id, _ in rows:
+        with open(d / "data" / f"{_id}.txt", "w", encoding="latin1") as f:
+            f.write(f"tweet {_id} caf\xe9\n")
+        _img(d / "data" / f"{_id}.jpg")
+    return str(d)
+
+
+def test_mvsa_preprocessed(mvsa_dir):
+    ids, texts, fns, labels = load_mvsa(mvsa_dir, ["train", "dev", "test"],
+                                        preprocessed=True)
+    # 10 rows - 1 corrupt - 1 inconsistent = 8
+    assert len(ids) == 8
+    assert "2" not in ids and "10" not in ids
+    lab = dict(zip(ids, labels.tolist()))
+    assert lab["3"] == 0   # neutral+positive -> positive
+    assert lab["4"] == 1   # neutral
+    assert lab["5"] == 2   # negative+neutral -> negative
+    assert all("caf\xe9" in t for t in texts)
+
+
+def test_mvsa_unpreprocessed_dual_labels(mvsa_dir):
+    ids, texts, fns, labels = load_mvsa(mvsa_dir, ["train", "dev", "test"],
+                                        preprocessed=False)
+    assert labels.shape == (9, 2)  # only corrupt dropped
+    lab = dict(zip(ids, labels.tolist()))
+    assert lab["2"] == [2, 0]  # negative text, positive image
+
+
+def test_mvsa_multiple_annotators(tmp_path):
+    d = tmp_path / "MVSA"
+    (d / "data").mkdir(parents=True)
+    with open(d / "labelResultAll.txt", "w") as f:
+        f.write("ID\ttext,image\ttext,image.1\ttext,image.2\n")
+        # text: pos,pos,neg -> pos majority; image: neu,neu,pos -> neu
+        f.write("1\tpositive,neutral\tpositive,neutral\tnegative,positive\n")
+        # no majority on text (pos, neu, neg) -> dropped
+        f.write("2\tpositive,neutral\tneutral,neutral\tnegative,neutral\n")
+        for i in range(3, 13):  # unanimous fillers so splits have population
+            f.write(f"{i}\tneutral,neutral\tneutral,neutral\tneutral,neutral\n")
+    for _id in ["1", "2"] + [str(i) for i in range(3, 13)]:
+        with open(d / "data" / f"{_id}.txt", "w") as f:
+            f.write("hello\n")
+        _img(d / "data" / f"{_id}.jpg")
+    ids, texts, fns, labels = load_mvsa(str(d), ["train", "dev", "test"],
+                                        preprocessed=False)
+    assert "2" not in ids and "1" in ids
+    lab = dict(zip(ids, labels.tolist()))
+    assert lab["1"] == [0, 1]
+
+
+def test_vision_language_dataset_batches(mvsa_dir):
+    ids, texts, fns, labels = load_mvsa(mvsa_dir, ["train", "dev", "test"],
+                                        preprocessed=True)
+    ds = VisionLanguageDataset(ids, texts, fns, labels, _proc(),
+                               name="MVSA_Single(train)", max_length=16)
+    batches = list(ds.batches(4))
+    assert sum(l.shape[0] for _, l in batches) == len(ids)
+    f, l = batches[0]
+    assert f["pixel_values"].shape[1:] == (3, 64, 64)
+
+
+# ------------------------------------------------------------- preprocessing
+
+def test_twitter_preprocessor_tags():
+    pre = twitter_preprocessor()
+    out = pre("RT @JohnDoe check https://t.co/xyz #GreatDay!!")
+    assert "user" in out and "url" in out
+    assert "@" not in out and "https" not in out
+    assert "# great-day" in out
+    assert out == out.lower()
+
+
+def test_twitter_preprocessor_contractions():
+    pre = twitter_preprocessor()
+    assert "can not" in pre("I can't even")
+    assert "are" in pre("you're nice")
+
+
+def test_demojizer_selector():
+    bertweet = demojizer_selector("vinai/bertweet-base")
+    bert = demojizer_selector("bert-base-uncased")
+    assert bertweet("hi 😀") == "hi 😀"
+    out = bert("hi 😀")
+    assert "😀" not in out and "(" in out and "grinning" in out.lower()
+    # unknown model -> identity
+    assert demojizer_selector("whatever")("x 😀") == "x 😀"

@@ -107,14 +107,24 @@ def resize_normalize(image: np.ndarray, out_hw: Tuple[int, int],
 
 def preprocess_image(image: np.ndarray, safe: bool = True,
                      augment_rng: Optional[np.random.Generator] = None,
-                     crop_ratio: float = 0.9) -> np.ndarray:
-    """Full single-image path: [safe-crop] -> [random-crop] -> resize+normalize."""
+                     crop_ratio: float = 0.9, shorter: int = SHORTER,
+                     longer: Optional[int] = None,
+                     max_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Full single-image path: [safe-crop] -> [random-crop] -> resize+normalize.
+    ``max_hw`` clamps the (already /32-floored) target to a static canvas; on
+    the default 384/639 geometry the floor is always <= 608 so no clamp fires.
+    """
+    if longer is None:
+        longer = int(1333 / 800 * shorter)
     if safe:
         image = safe_aspect_crop(np.asarray(image))
     if augment_rng is not None:
         image = relative_random_crop(augment_rng, np.asarray(image), crop_ratio)
     h, w = np.asarray(image).shape[:2]
-    return resize_normalize(np.asarray(image), target_size(h, w))
+    th, tw = target_size(h, w, shorter, longer)
+    if max_hw is not None:
+        th, tw = min(th, max_hw[0]), min(tw, max_hw[1])
+    return resize_normalize(np.asarray(image), (th, tw))
 
 
 def pad_batch(images: Sequence[np.ndarray],

@@ -25,11 +25,18 @@ from vault_tpu.data.image import DEFAULT_CANVAS, pad_batch, preprocess_image
 class VaultProcessor:
     def __init__(self, tokenizer, max_length: int = 40,
                  canvas: Optional[Tuple[int, int]] = DEFAULT_CANVAS,
-                 safe_images: bool = True):
+                 safe_images: bool = True, shorter: Optional[int] = None):
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.canvas = canvas
         self.safe_images = safe_images
+        # resize geometry scales with a custom canvas: shortest edge target is
+        # min(canvas, 384) unless given explicitly (384 on the default canvas).
+        if shorter is None:
+            shorter = min(canvas) if canvas is not None else 384
+            shorter = min(shorter, 384)
+        self.shorter = shorter
+        self.longer = int(1333 / 800 * shorter)
 
     def encode_text(self, texts: Sequence[str],
                     text_pairs: Optional[Sequence[Optional[str]]] = None,
@@ -54,7 +61,9 @@ class VaultProcessor:
     def encode_images(self, images: Sequence[np.ndarray],
                       augment_rng: Optional[np.random.Generator] = None):
         processed = [preprocess_image(im, safe=self.safe_images,
-                                      augment_rng=augment_rng)
+                                      augment_rng=augment_rng,
+                                      shorter=self.shorter, longer=self.longer,
+                                      max_hw=self.canvas)
                      for im in images]
         return pad_batch(processed, canvas=self.canvas)
 

@@ -176,12 +176,20 @@ class WordPieceTokenizer:
             start = end
         return out
 
+    @property
+    def _protected(self) -> List[str]:
+        """Tokens that survive basic tokenization intact: user-added tokens
+        (e.g. "$T$") and the special tokens — the reference embeds sep_token
+        literally in TMSC text (vault/models/vault/dataset.py:256-261)."""
+        return list(self.added_tokens) + [self.unk_token, self.cls_token,
+                                          self.sep_token, self.pad_token,
+                                          self.mask_token]
+
     def tokenize(self, text: str) -> List[str]:
-        never = list(self.added_tokens)
+        never = self._protected
         tokens: List[str] = []
-        # protect added tokens (e.g. "$T$") from basic splitting
         for chunk in self._split_on_added(text):
-            if chunk in self.added_tokens:
+            if chunk in never:
                 tokens.append(chunk)
             else:
                 for tok in self.basic.tokenize(chunk, never_split=never):
@@ -190,10 +198,11 @@ class WordPieceTokenizer:
 
     def _split_on_added(self, text: str) -> List[str]:
         chunks = [text]
-        for tok in self.added_tokens:
+        for tok in self._protected:
+            protected = set(self._protected)
             next_chunks: List[str] = []
             for ch in chunks:
-                if ch in self.added_tokens:
+                if ch in protected:
                     next_chunks.append(ch)
                     continue
                 parts = ch.split(tok)
