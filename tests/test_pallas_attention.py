@@ -1,0 +1,60 @@
+"""Fused-attention kernel parity vs the XLA path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vault_tpu.ops.attention import attend_xla
+from vault_tpu.ops.masks import extend_attention_mask
+from vault_tpu.ops.pallas_attention import fused_attention
+
+
+@pytest.mark.parametrize("b,h,l,d", [(2, 4, 32, 16), (1, 12, 269, 64)])
+def test_fused_matches_xla(b, h, l, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, l // 2:] = 0
+    bias = extend_attention_mask(jnp.asarray(mask))
+
+    ref = attend_xla(q, k, v, bias)
+    out = fused_attention(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_no_bias():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    ref = attend_xla(q, k, v, None)
+    out = fused_attention(q, k, v, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_model_with_pallas_flag():
+    # end-to-end: tiny ViLT with use_pallas (interpreted on CPU) matches XLA
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config()
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    pixels = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    pmask = np.ones((2, 64, 64), np.int64)
+
+    a = vilt_apply(params, cfg, input_ids=jnp.asarray(ids),
+                   attention_mask=jnp.asarray(mask),
+                   pixel_values=jnp.asarray(pixels),
+                   pixel_mask=jnp.asarray(pmask), use_pallas=False)
+    b = vilt_apply(params, cfg, input_ids=jnp.asarray(ids),
+                   attention_mask=jnp.asarray(mask),
+                   pixel_values=jnp.asarray(pixels),
+                   pixel_mask=jnp.asarray(pmask), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a.pooler_output),
+                               np.asarray(b.pooler_output), atol=1e-5)

@@ -133,10 +133,11 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
 
 
 def bert_encode(params, cfg: TextTowerConfig, x, attention_mask,
-                deterministic=True, rng=None, use_pallas=False, remat=False):
-    """Run the stacked encoder with lax.scan over layers."""
-    bias = None
-    if attention_mask is not None:
+                deterministic=True, rng=None, use_pallas=False, remat=False,
+                bias=None):
+    """Run the stacked encoder with lax.scan over layers.  ``bias`` (a
+    prebuilt additive mask) takes precedence over ``attention_mask``."""
+    if bias is None and attention_mask is not None:
         bias = extend_attention_mask(attention_mask, jnp.float32)
 
     def body(carry, inp):

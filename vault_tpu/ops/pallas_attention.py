@@ -1,0 +1,76 @@
+"""Pallas TPU fused attention for the ViLT/BERT encoder hot loop.
+
+The co-encoder's 12-layer self-attention over ~269 tokens (40 text + 1 CLS +
+228 patches) is the #1 hot loop (SURVEY.md §3, "Hot loops, ranked").  At this
+sequence length the whole (L, L) score matrix fits comfortably in VMEM
+(269x269 fp32 = 283 KB), so a single fused kernel per (batch, head) —
+QK^T -> mask add -> softmax -> PV, with no HBM round-trip for scores — beats
+the unfused XLA path that materializes probs in HBM.
+
+Layout: grid (B, H); each program owns one head's (L, D) q/k/v tiles and the
+(1, L) additive bias row.  fp32 accumulation on the MXU via
+``preferred_element_type``; softmax computed in fp32 regardless of input
+dtype.  Falls back to interpreter mode off-TPU so CPU tests exercise the same
+code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    q = q_ref[0, 0]            # (L, D)
+    k = k_ref[0, 0]            # (L, D)
+    v = v_ref[0, 0]            # (L, D)
+    d = q.shape[-1]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (L, L)
+    scores = scores * (1.0 / (d ** 0.5))
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)   # (1, L) broadcast
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    bias: jax.Array | None, interpret: bool | None = None) -> jax.Array:
+    """q/k/v: (B, H, L, D); bias: (B, 1, 1, L) additive or None."""
+    b, h, l, d = q.shape
+    if bias is None:
+        bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    grid = (b, h)
+    qkv_spec = pl.BlockSpec((1, 1, l, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, 1, l), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=(3 * b * h * l * d + b * h * l * d) * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+    )(q, k, v, bias)
