@@ -61,6 +61,7 @@ def bench_tpu():
     }
 
     def chained(params, batch, k):
+        # k is a traced scalar -> ONE compilation serves every iteration count
         def body(_, carry):
             feedback, _ = carry
             b = dict(batch)
@@ -76,14 +77,15 @@ def bench_tpu():
         return out
 
     import jax
-    run = jax.jit(chained, static_argnums=(2,))
+    run = jax.jit(chained)
+
+    np.asarray(run(params, batch, jnp.int32(1)))  # compile once
 
     def timed(k):
-        np.asarray(run(params, batch, k))  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(run(params, batch, k))
+            np.asarray(run(params, batch, jnp.int32(k)))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""VAuLT fine-tuning CLI — the rebuild of experiments/clsf_vault.py.
+
+Subcommand per task (Twitter201X / Bloomberg / MVSA), composing flags from
+model + dataset + trainer specs; per-rep loop builds a fresh ExperimentHandler
+named ``VaultTMSC{task}`` + fresh model and runs the task trainer
+(reference :52-70, :179-252).
+
+Usage examples (dataset paths per the reference README):
+  python experiments/clsf_vault.py Twitter201X --dir /data/twitter-tmsc/twitter2015 \
+      --train_split train --dev_split dev --test_split test \
+      --bert_model_name_or_path bert-base-uncased -r 5
+  python experiments/clsf_vault.py MVSA --root_dir /data/mvsa/MVSA_Single --preprocessed
+  python experiments/clsf_vault.py Bloomberg --root_dir /data/bloomberg
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from experiments.utils import (
+    GENERAL_ARGS,
+    TRAINER_ARGS,
+    add_arguments,
+    trainer_args_from_namespace,
+)
+
+VAULT_MODEL_ARGS = dict(
+    vilt_model_name_or_path=dict(default="dandelin/vilt-b32-mlm", type=str,
+                                 help="ViLT checkpoint (local HF dir or name)"),
+    bert_model_name_or_path=dict(type=str,
+                                 help="LM tower checkpoint, if any"),
+    vilt_dropout_prob=dict(default=0.1, type=float,
+                           help="dropout in ViLT layers"),
+    freeze_lm=dict(action="store_true", help="freeze the language tower"),
+    use_vilt_position_embeddings=dict(action="store_true",
+                                      help="keep ViLT's text position embeds"),
+    add_placeholder_token=dict(action="store_true",
+                               help="add $T$ to the tokenizer"),
+    max_length=dict(default=40, type=int, help="max text tokens (<=40)"),
+    image_augmentation=dict(action="store_true",
+                            help="random-crop augmentation at fetch"),
+    debug_tiny=dict(action="store_true",
+                    help="debug: tiny model geometry + tiny image canvas"),
+)
+
+TASK_ARGS = {
+    "Twitter201X": dict(
+        dir=dict(required=True, type=str, help="tweet dataset directory"),
+        image_dir=dict(type=str, help="image directory (default <dir>_images)"),
+        train_split=dict(required=True, type=str, nargs="+"),
+        dev_split=dict(type=str, nargs="+"),
+        test_split=dict(type=str, nargs="+"),
+    ),
+    "Bloomberg": dict(
+        root_dir=dict(required=True, type=str, help="bloomberg dataset root"),
+        tasks=dict(default=["text_is_represented"], type=str, nargs="+"),
+    ),
+    "MVSA": dict(
+        root_dir=dict(required=True, type=str, help="MVSA dataset root"),
+        preprocessed=dict(action="store_true",
+                          help="literature label preprocessing"),
+    ),
+}
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    sp = parser.add_subparsers(dest="task", required=True)
+    for task, spec in TASK_ARGS.items():
+        p = sp.add_parser(task)
+        add_arguments(p, VAULT_MODEL_ARGS)
+        add_arguments(p, spec)
+        add_arguments(p, TRAINER_ARGS)
+        add_arguments(p, GENERAL_ARGS)
+        p.add_argument("-r", "--reps_short", type=int, dest="reps_short",
+                       help=argparse.SUPPRESS)
+    args = parser.parse_args()
+    if getattr(args, "reps_short", None):
+        args.reps = args.reps_short
+    return args
+
+
+def build_model(args, cfg, n_classes, rng):
+    from vault_tpu.models.pretrained import load_vault_backbone
+    from vault_tpu.models.vault import init_classifier_head
+
+    params = load_vault_backbone(cfg, rng, args.vilt_model_name_or_path,
+                                 args.bert_model_name_or_path)
+    params["head"] = init_classifier_head(jax.random.fold_in(rng, 7),
+                                          cfg.vilt.hidden_size, n_classes)
+    return params
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=args.logging_level.upper())
+
+    from vault_tpu.config import VaultConfig
+    from vault_tpu.data.datasets import (
+        Twitter201XDataset,
+        VisionLanguageDataset,
+        load_bloomberg,
+        load_mvsa,
+    )
+    from vault_tpu.data.processor import VaultProcessor
+    from vault_tpu.models.pretrained import (
+        build_tokenizer,
+        text_config_from_name,
+        vilt_config_from_name,
+    )
+    from vault_tpu.models.vault import vault_for_classification
+    from vault_tpu.text.preprocess import demojizer_selector, twitter_preprocessor
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.task_trainers import (
+        BloombergTrainer,
+        MvsaTrainer,
+        TmscTrainer,
+    )
+
+    bert_name = args.bert_model_name_or_path
+    canvas = None
+    if args.debug_tiny:
+        from vault_tpu.config import tiny_text_config, tiny_vilt_config
+
+        vilt_cfg = tiny_vilt_config(image_size=64, patch_size=16,
+                                    num_patch_tokens=16,
+                                    vocab_size=30522)
+        text_cfg = tiny_text_config(vocab_size=30522) if bert_name else None
+        canvas = (64, 64)
+    else:
+        vilt_cfg = vilt_config_from_name(args.vilt_model_name_or_path)
+        text_cfg = text_config_from_name(bert_name) if bert_name else None
+    cfg = VaultConfig(vilt=vilt_cfg, text_tower=text_cfg,
+                      use_vilt_position_embeddings=args.use_vilt_position_embeddings,
+                      freeze_lm=args.freeze_lm)
+
+    tokenizer = build_tokenizer(bert_name or args.vilt_model_name_or_path,
+                                args.max_length)
+    if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
+        tokenizer.add_tokens(["$T$"])
+    proc_kw = {"canvas": canvas} if canvas else {}
+    processor = VaultProcessor(tokenizer, max_length=args.max_length, **proc_kw)
+
+    # text preprocessing per reference recipe (twitter preprocessor +
+    # per-LM demojizer) for the VL datasets
+    demojizer = demojizer_selector(os.path.basename(bert_name or ""))
+    pre = twitter_preprocessor()
+    text_pre = lambda t: pre(demojizer(t))
+
+    if args.task == "Twitter201X":
+        mk = lambda kinds, augment=False: Twitter201XDataset(
+            args.dir, kinds, processor, image_dir=args.image_dir,
+            max_length=args.max_length, augment=augment)
+        train_ds = mk(args.train_split, augment=args.image_augmentation)
+        dev_ds = mk(args.dev_split) if args.dev_split else None
+        test_ds = mk(args.test_split) if args.test_split else None
+        n_classes = len(train_ds.label_mapping)
+        trainer_cls = TmscTrainer
+        dataset_label = train_ds.name if dev_ds is None else (
+            os.path.basename(os.path.normpath(args.dir))
+            + "(" + ";".join(args.train_split) + ";".join([""] + (args.dev_split or [])) + ")")
+        exp_name = "VaultTMSCTwitter201X"
+    elif args.task == "Bloomberg":
+        def mk(split):
+            ids, texts, fns, labels, _ = load_bloomberg(args.root_dir, split,
+                                                        args.tasks)
+            return VisionLanguageDataset(
+                ids, texts, fns, labels, processor,
+                name=f"bloomberg-twitter-text-image({split})",
+                max_length=args.max_length, text_preprocessor=text_pre,
+                augment=args.image_augmentation)
+        train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
+        n_classes = len(args.tasks)
+        trainer_cls = BloombergTrainer
+        dataset_label = "bloomberg-twitter-text-image(train;dev)"
+        exp_name = "VaultTMSCBloomberg"
+    else:  # MVSA
+        def mk(split):
+            ids, texts, fns, labels = load_mvsa(args.root_dir, split,
+                                                args.preprocessed)
+            return VisionLanguageDataset(
+                ids, texts, fns, labels, processor,
+                name=f"{os.path.basename(args.root_dir)}({split})",
+                max_length=args.max_length, text_preprocessor=text_pre,
+                augment=args.image_augmentation)
+        train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
+        n_classes = 3 if args.preprocessed else 6
+        trainer_cls = MvsaTrainer
+        dataset_label = f"{os.path.basename(args.root_dir)}(train;dev)"
+        exp_name = "VaultTMSCMVSA"
+
+    targs = trainer_args_from_namespace(args)
+
+    for rep in range(args.reps):
+        handler = ExperimentHandler(args.experiment_root, exp_name)
+        handler.set_params({
+            "bert_model": bert_name or "None",
+            "dataset": dataset_label,
+            "vilt_model": os.path.basename(args.vilt_model_name_or_path),
+            "freeze_lm": args.freeze_lm,
+            "lr": args.lr,
+            "train_batch_size": args.train_batch_size,
+            "num_train_epochs": args.num_train_epochs,
+            "max_length": args.max_length,
+        })
+        handler.set_name_params(["bert_model", "dataset", "vilt_model",
+                                 "freeze_lm"])
+
+        rng = jax.random.PRNGKey(args.seed + rep)
+        params = build_model(args, cfg, n_classes, rng)
+
+        def apply_fn(p, batch, deterministic, rng, _cfg=cfg):
+            return vault_for_classification(
+                p, _cfg, batch, head_dropout=args.vilt_dropout_prob,
+                deterministic=deterministic, rng=rng,
+                use_pallas=args.use_pallas, remat=args.remat)
+
+        kw = {}
+        if args.task == "MVSA":
+            kw["preprocessed"] = args.preprocessed
+        trainer = trainer_cls(apply_fn, params, targs, train_ds,
+                              dev_dataset=dev_ds, test_dataset=test_ds,
+                              exp_handler=handler, **kw)
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""CLI plumbing: argparse composition from per-component arg specs.
+
+Mirrors the reference convention (experiments/utils.py:5-36): every model /
+dataset / trainer contributes an ``argparse_args``-style dict (name ->
+argparse kwargs) and subcommands compose them.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+
+def add_arguments(parser: argparse.ArgumentParser, spec: Dict[str, dict]):
+    for name, kwargs in spec.items():
+        parser.add_argument(f"--{name}", **kwargs)
+
+
+GENERAL_ARGS = dict(
+    reps=dict(default=1, type=int, help="times to repeat experiment"),
+    description=dict(type=str, help="description of experiment"),
+    logging_level=dict(default="warning", type=str, help="logging severity"),
+    experiment_root=dict(default="./experiment_logs", type=str,
+                         help="where experiment logs are written"),
+)
+
+TRAINER_ARGS = dict(
+    early_stopping_patience=dict(type=int, help="early stopping patience"),
+    model_save=dict(action="store_true", help="whether to save model"),
+    model_load_filename=dict(type=str, help="local checkpoint to load"),
+    lr=dict(default=2e-5, type=float, help="learning rate"),
+    adam_beta1=dict(default=0.9, type=float, help="Adam beta_1"),
+    adam_beta2=dict(default=0.999, type=float, help="Adam beta_2"),
+    adam_epsilon=dict(default=1e-8, type=float, help="Adam epsilon"),
+    weight_decay=dict(default=0.0, type=float, help="AdamW weight decay"),
+    correct_bias=dict(action="store_true", help="correct bias in AdamW"),
+    train_batch_size=dict(default=32, type=int, help="train batch size"),
+    eval_batch_size=dict(default=32, type=int, help="eval batch size"),
+    eval_steps=dict(type=int, help="steps between dev evals (default: epoch)"),
+    max_steps=dict(default=-1, type=int, help="max number of steps"),
+    num_train_epochs=dict(default=10, type=int, help="training epochs"),
+    warmup_ratio=dict(default=0.1, type=float, help="warmup fraction of steps"),
+    num_data_shards=dict(type=int, help="DP mesh size (default: all devices)"),
+    use_pallas=dict(action="store_true", help="use Pallas fused attention"),
+    remat=dict(action="store_true", help="rematerialize encoder layers"),
+    seed=dict(default=0, type=int, help="base random seed"),
+)
+
+
+def trainer_args_from_namespace(args, **overrides):
+    from vault_tpu.training.trainer import TrainArgs
+
+    kw = dict(
+        lr=args.lr, adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon, weight_decay=args.weight_decay,
+        correct_bias=args.correct_bias,
+        train_batch_size=args.train_batch_size,
+        eval_batch_size=args.eval_batch_size,
+        num_train_epochs=args.num_train_epochs,
+        warmup_ratio=args.warmup_ratio, eval_steps=args.eval_steps,
+        max_steps=args.max_steps,
+        early_stopping_patience=args.early_stopping_patience,
+        model_save=args.model_save,
+        model_load_filename=args.model_load_filename,
+        num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
+        remat=args.remat, seed=args.seed,
+    )
+    kw.update(overrides)
+    return TrainArgs(**kw)

@@ -1,0 +1,84 @@
+"""End-to-end CLI smoke tests: both experiment drivers run on synthetic data
+with tiny geometry and produce the reference experiment-log layout."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_twitter(tmp_path):
+    d = tmp_path / "twitter2015"
+    imgs = tmp_path / "twitter2015_images"
+    d.mkdir(); imgs.mkdir()
+    rows = [(str(i), str(i % 3 - 1), f"im{i % 4}.jpg",
+             f"tweet number {i} about $T$ stuff", f"target {i % 5}")
+            for i in range(12)]
+    for split in ("train", "dev", "test"):
+        with open(d / f"{split}.tsv", "w") as f:
+            f.write("index\t#1 Label\t#2 ImageID\t#3 String\t#3 String\n")
+            for r in rows:
+                f.write("\t".join(r) + "\n")
+    for i in range(4):
+        Image.new("RGB", (80, 60), (i * 40, 100, 150)).save(imgs / f"im{i}.jpg")
+    Image.new("RGB", (80, 60), (0, 0, 0)).save(imgs / "17_06_4705.jpg")
+    return str(d)
+
+
+def _run(cmd, cwd=REPO, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def test_clsf_vault_cli(tmp_path):
+    data_dir = _make_twitter(tmp_path)
+    logs = str(tmp_path / "logs")
+    res = _run([sys.executable, "experiments/clsf_vault.py", "Twitter201X",
+                "--dir", data_dir, "--train_split", "train",
+                "--dev_split", "dev", "--test_split", "test",
+                "--bert_model_name_or_path", "bert-base-uncased",
+                "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--eval_batch_size", "4",
+                "--experiment_root", logs, "--add_placeholder_token"])
+    assert res.returncode == 0, res.stderr[-3000:]
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCTwitter201X"))
+    assert len(run_dirs) == 1
+    d = os.path.join(logs, "VaultTMSCTwitter201X", run_dirs[0])
+    with open(os.path.join(d, "metrics.yml")) as f:
+        metrics = yaml.safe_load(f)
+    block = metrics["experiment_0"]
+    assert "train_loss" in block and "test_eval_accuracy" in block
+    assert os.path.exists(os.path.join(d, "aggregated_metrics.yml"))
+
+
+def test_tmsc_tombert_cli(tmp_path):
+    data_dir = _make_twitter(tmp_path)
+    logs = str(tmp_path / "logs")
+    res = _run([sys.executable, "experiments/tmsc_tombert.py", "TomBERT",
+                "--dir", data_dir, "--train_split", "train",
+                "--dev_split", "dev",
+                "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--eval_batch_size", "4",
+                "--experiment_root", logs])
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert os.listdir(os.path.join(logs, "TomBERTTMSC"))
+
+
+def test_tmsc_tomvilt_cli(tmp_path):
+    data_dir = _make_twitter(tmp_path)
+    logs = str(tmp_path / "logs")
+    res = _run([sys.executable, "experiments/tmsc_tombert.py", "TomViLT",
+                "--dir", data_dir, "--train_split", "train",
+                "--use_tweet_bert", "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--experiment_root", logs])
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert os.listdir(os.path.join(logs, "TomViLTTMSC"))

@@ -1,0 +1,106 @@
+"""Twitter-201X dataset for TomBERT/TomViLT.
+
+Rebuild of vault/models/tombert/dataset.py: target-only encoding
+(max_target_length, default 16) PLUS tweet+target pair encoding
+(max_total_length, longest-first truncation); images resized to the crop
+size, center-cropped, ImageNet-normalized (so the fixed ResNet grid yields
+the same region count for every image, :255-300); frozen-ResNet embedding
+cache via ``replace_images_with_embeddings`` (:226-238)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+import jax
+
+from vault_tpu.data.datasets import load_image_with_fallback, read_twitter201x
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def imagenet_preprocess(image: np.ndarray, crop_size: int = 224) -> np.ndarray:
+    """(H, W, 3) uint8 -> (3, crop, crop) float32: resize shortest side to
+    crop_size (bilinear, torchvision Resize semantics), center crop,
+    ImageNet normalize."""
+    import jax.image
+
+    h, w = image.shape[:2]
+    scale = crop_size / min(h, w)
+    nh, nw = max(crop_size, round(h * scale)), max(crop_size, round(w * scale))
+    img = jax.image.resize(np.asarray(image, np.float32), (nh, nw, 3),
+                           method="bilinear", antialias=True)
+    img = np.asarray(img)
+    top, left = (nh - crop_size) // 2, (nw - crop_size) // 2
+    img = img[top:top + crop_size, left:left + crop_size]
+    img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return img.transpose(2, 0, 1).astype(np.float32)
+
+
+class TomBertTmscDataset:
+    def __init__(self, dir: str, kinds: Union[str, Sequence[str]], processor,
+                 image_dir: Optional[str] = None, max_total_length: int = 64,
+                 max_target_length: int = 16, crop_size: int = 224,
+                 label_mapping: Optional[Dict[str, int]] = None):
+        import os
+
+        if isinstance(kinds, str):
+            kinds = [kinds]
+        self.name = (os.path.basename(os.path.normpath(dir))
+                     + "(" + ",".join(kinds) + ")")
+        self.image_dir = image_dir or (os.path.normpath(dir) + "_images")
+        self.crop_size = crop_size
+        self.examples = read_twitter201x(dir, kinds)
+        labels = sorted({e.label for e in self.examples})
+        self.label_mapping = label_mapping or {l: i for i, l in enumerate(labels)}
+        self.labels = np.asarray(
+            [self.label_mapping[e.label] for e in self.examples], np.int32)
+
+        tweets = [e.targetless_tweet for e in self.examples]
+        targets = [e.target for e in self.examples]
+        pair_enc = processor.encode_text(tweets, targets,
+                                         max_length=max_total_length)
+        tgt_enc = processor.encode_text(targets, max_length=max_target_length)
+        self.features = {
+            "input_ids": pair_enc["input_ids"],
+            "attention_mask": pair_enc["attention_mask"],
+            "token_type_ids": pair_enc["token_type_ids"],
+            "target_input_ids": tgt_enc["input_ids"],
+            "target_attention_mask": tgt_enc["attention_mask"],
+            "target_type_ids": tgt_enc["token_type_ids"],
+        }
+        self._err_count = 0
+        imgs = []
+        for e in self.examples:
+            img, err = load_image_with_fallback(self.image_dir, e.image_bn)
+            self._err_count += int(err)
+            imgs.append(imagenet_preprocess(img, crop_size))
+        self.images: Optional[np.ndarray] = np.stack(imgs)
+        self.embeddings: Optional[np.ndarray] = None
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.examples)
+
+    def num_batches(self, batch_size: int) -> int:
+        return (self.num_examples + batch_size - 1) // batch_size
+
+    def replace_images_with_embeddings(self, embeddings: np.ndarray):
+        """Frozen-ResNet cache: after the first epoch computes region
+        embeddings, batches serve those instead of raw images."""
+        self.embeddings = np.asarray(embeddings)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None):
+        idx = np.arange(self.num_examples)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(idx)
+        for start in range(0, self.num_examples, batch_size):
+            sel = idx[start:start + batch_size]
+            feats = {k: v[sel] for k, v in self.features.items()}
+            if self.embeddings is not None:
+                feats["visual_embeddings"] = self.embeddings[sel]
+            else:
+                feats["images"] = self.images[sel]
+            yield feats, self.labels[sel]
