@@ -1,0 +1,67 @@
+"""Native C++ WordPiece core: build, parity with the Python path, fallback."""
+
+import numpy as np
+import pytest
+
+from vault_tpu.text.native import NativeWordPiece, build_native_lib
+from vault_tpu.text.wordpiece import WordPieceTokenizer
+
+VOCAB = {t: i for i, t in enumerate(dict.fromkeys(
+    "[PAD] [UNK] [CLS] [SEP] [MASK] the quick brown fox jump ##s ##ed over "
+    "lazy dog un ##want ! . , ' run ##ning".split()))}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    assert build_native_lib(), "native build failed (g++ required)"
+
+
+@pytest.mark.parametrize("text", [
+    "The quick brown fox jumps over the lazy dog!",
+    "unwanted running",
+    "UNWANTED ruNNing...",
+    "completely-unknownword",
+    "",
+])
+def test_native_matches_python(text):
+    tok = WordPieceTokenizer(VOCAB)
+    nat = NativeWordPiece(VOCAB, VOCAB["[UNK]"], lowercase=True)
+    assert nat.available
+    ids_py = tok.convert_tokens_to_ids(tok.tokenize(text))
+    ids_c = nat.tokenize_to_ids(text)
+    assert ids_c == ids_py, (text, ids_c, ids_py)
+
+
+def test_non_ascii_falls_back():
+    nat = NativeWordPiece(VOCAB, VOCAB["[UNK]"])
+    assert nat.tokenize_to_ids("café 😀") is None
+
+
+def test_encode_uses_native_transparently():
+    tok = WordPieceTokenizer(VOCAB)
+    enc = tok.encode("the quick fox", max_length=10)
+    assert tok._native is not None and tok._native.available
+    # identical result with native disabled
+    tok2 = WordPieceTokenizer(VOCAB)
+    tok2._native_tried = True  # force python path
+    enc2 = tok2.encode("the quick fox", max_length=10)
+    assert enc == enc2
+
+
+def test_native_speedup():
+    import time
+
+    tok_fast = WordPieceTokenizer(VOCAB)
+    tok_slow = WordPieceTokenizer(VOCAB)
+    tok_slow._native_tried = True
+    text = "the quick brown fox jumps over the lazy dog " * 8
+
+    def bench(t):
+        t.encode(text, max_length=64)  # warm
+        t0 = time.perf_counter()
+        for _ in range(200):
+            t.encode(text, max_length=64)
+        return time.perf_counter() - t0
+
+    fast, slow = bench(tok_fast), bench(tok_slow)
+    assert fast < slow, (fast, slow)  # native must actually be faster

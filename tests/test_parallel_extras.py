@@ -1,0 +1,146 @@
+"""Tests: TP sharding rules, 2-stage pipeline, VQA normalization, entity
+integration, profiling utils."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.models.vault import init_vault, vault_apply
+from vault_tpu.parallel.mesh import make_mesh
+from vault_tpu.parallel.pipeline import PipelineVault
+from vault_tpu.parallel.sharding import shard_params, vault_param_specs
+
+
+def _tiny_cfg():
+    return VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=6),
+        text_tower=tiny_text_config(num_hidden_layers=2),
+    )
+
+
+def _batch(cfg, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size, (n, 8)),
+                              jnp.int32),
+        attention_mask=jnp.ones((n, 8), jnp.int32),
+        token_type_ids=jnp.zeros((n, 8), jnp.int32),
+        pixel_values=jnp.asarray(rng.normal(size=(n, 3, 32, 32)), jnp.float32),
+        pixel_mask=jnp.ones((n, 32, 32), jnp.int32),
+    )
+
+
+def test_tp_sharding_specs():
+    cfg = _tiny_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    specs = vault_param_specs(params)
+    assert specs["bert"]["layers"]["q"]["w"] == P(None, None, "model")
+    assert specs["bert"]["layers"]["attn_out"]["w"] == P(None, "model", None)
+    assert specs["bert"]["layers"]["mlp_in"]["w"] == P(None, None, "model")
+    assert specs["bert"]["layers"]["mlp_out"]["w"] == P(None, "model", None)
+    assert specs["bert"]["layers"]["attn_ln"]["scale"] == P()
+    assert specs["vilt"]["text_embeddings"]["word"] == P()
+
+
+def test_tp_forward_matches_replicated():
+    # 4-way DP x 2-way TP mesh: sharded forward == single-device forward
+    cfg = _tiny_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+
+    ref = vault_apply(params, cfg, **batch).pooler_output
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    sharded = shard_params(mesh, params)
+
+    @jax.jit
+    def fwd(p, b):
+        return vault_apply(p, cfg, **b).pooler_output
+
+    out = fwd(sharded, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pipeline_vault_matches_monolithic():
+    cfg = _tiny_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, n=6)
+
+    ref = vault_apply(params, cfg, **batch)
+
+    devs = jax.devices()
+    pipe = PipelineVault(params, cfg, lm_device=devs[0], vilt_device=devs[1],
+                         inner_batch_size=2)
+    out = pipe(**{k: np.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(out.pooler_output),
+                               np.asarray(ref.pooler_output), atol=2e-5)
+    assert out.last_hidden_state.shape == ref.last_hidden_state.shape
+
+
+def test_vqa_normalize():
+    from vault_tpu.data.vqa import answer_scores, normalize_word
+
+    assert normalize_word("The Cat") == "cat"
+    assert normalize_word("two") == "2"
+    assert normalize_word("dont") == "don't"
+    assert normalize_word("a dog!") == "dog"
+    assert normalize_word("1,000") == "1000"
+
+    label2id = {"cat": 0, "2": 1}
+    scores = answer_scores(["the cat", "Cat", "cat", "two"], label2id, 3)
+    np.testing.assert_allclose(scores, [1.0, 1 / 3, 0.0], atol=1e-6)
+
+
+def test_entity_integration():
+    from vault_tpu.text.entity_linking import (
+        integrate_entities_into_embeddings,
+        load_entity_cache,
+        save_entity_cache,
+    )
+    from vault_tpu.text.wordpiece import WordPieceTokenizer
+
+    vocab = {t: i for i, t in enumerate(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] alpha beta gamma".split())}
+    tok = WordPieceTokenizer(vocab)
+    tok.add_tokens(["[ENT1]", "[ENT2]"])
+    emb = jnp.asarray(np.arange(8 * 4, dtype=np.float32).reshape(8, 4))
+    out = integrate_entities_into_embeddings(emb, ["alpha beta", "gamma"], tok)
+    assert out.shape == (10, 4)
+    # row 8 <- max-pool(alpha, beta) = beta row; row 9 <- gamma row
+    np.testing.assert_allclose(np.asarray(out[8]), np.asarray(emb[6]))
+    np.testing.assert_allclose(np.asarray(out[9]), np.asarray(emb[7]))
+
+
+def test_entity_cache_roundtrip(tmp_path):
+    from vault_tpu.text.entity_linking import (
+        entities_cache_filename,
+        load_entity_cache,
+        save_entity_cache,
+    )
+
+    path = entities_cache_filename(str(tmp_path), "/data/twitter2015",
+                                   ["train"], "wiki_2019", 10000.0)
+    cache = {"obama": ("Barack_Obama", "44th president"),
+             "xyzzy": (None, None)}
+    save_entity_cache(path, cache)
+    loaded = load_entity_cache(path)
+    assert loaded == {"obama": ("Barack_Obama", "44th president"),
+                      "xyzzy": (None, None)}
+    # corrupted file -> None
+    with open(path, "w") as f:
+        f.write("{broken")
+    assert load_entity_cache(path) is None
+
+
+def test_step_timer():
+    from vault_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(5):
+        with t:
+            pass
+    s = t.summary(items_per_step=8)
+    assert s["steps"] == 5 and s["items_per_sec"] > 0

@@ -1,0 +1,147 @@
+"""Entity linking of TMSC targets — rebuild of vault/entity_linking.py.
+
+The reference optionally runs REL (mention detection + entity disambiguation)
+over TMSC targets, fetches each entity's first Wikipedia paragraph, caches
+results in a JSON file keyed by dir/split/wiki/threshold
+(vault/tmsc_utils/dataset.py:185-283), and grows the tokenizer + initializes
+each new entity token's embedding as the MAX-POOL of its description's token
+embeddings (vault/entity_linking.py:115-148).  README notes the feature gave
+no improvement (README.md:28).
+
+REL/wikipedia aren't installable here (zero egress), so the linker backends
+are gated: if REL is importable it is used; otherwise ``link`` raises unless
+a JSON cache already provides the answers.  The embedding-integration math —
+the part that touches the model — is fully implemented and tested.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+def entities_cache_filename(cache_dir: str, dataset_dir: str,
+                            splits: Sequence[str], wiki_version: str,
+                            threshold: float) -> str:
+    """Cache file keyed by dataset dir/split/wiki/threshold (reference
+    convention, vault/tmsc_utils/dataset.py:185-229)."""
+    base = os.path.basename(os.path.normpath(dataset_dir))
+    name = f"entities_{base}_{'-'.join(splits)}_{wiki_version}_{threshold}.json"
+    return os.path.join(cache_dir, name)
+
+
+def load_entity_cache(path: str) -> Optional[Dict[str, Tuple[Optional[str], Optional[str]]]]:
+    """Load cached target -> (entity, description); corrupted files are
+    detected and discarded (reference behavior)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        assert isinstance(data, dict)
+        return {k: tuple(v) if v is not None else (None, None)
+                for k, v in data.items()}
+    except Exception:
+        logger.warning("corrupted entity cache at %s; ignoring", path)
+        return None
+
+
+def save_entity_cache(path: str, cache: Dict):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({k: list(v) for k, v in cache.items()}, f)
+
+
+class EntityLinker:
+    """REL-backed target linker (vault/entity_linking.py:15-112).  Each
+    target string maps to (entity_name, first_wikipedia_paragraph) or
+    (None, None) below the confidence threshold."""
+
+    def __init__(self, root_dir: str, wiki_version: str = "wiki_2019",
+                 threshold: float = 10000.0):
+        self.root_dir = root_dir
+        self.wiki_version = wiki_version
+        self.threshold = threshold
+        try:
+            from REL.mention_detection import MentionDetection  # noqa: F401
+
+            self._available = True
+        except ImportError:
+            self._available = False
+
+    @property
+    def available(self) -> bool:
+        return self._available
+
+    def link(self, targets: Sequence[str]) -> Dict[str, Tuple[Optional[str], Optional[str]]]:
+        if not self._available:
+            raise RuntimeError(
+                "REL is not installed in this environment; provide a JSON "
+                "entity cache instead (load_entity_cache)")
+        from REL.entity_disambiguation import EntityDisambiguation
+        from REL.mention_detection import MentionDetection
+        from REL.ner import Cmns
+        from REL.utils import process_results
+
+        md = MentionDetection(self.root_dir, self.wiki_version)
+        tagger = Cmns(self.root_dir, self.wiki_version, n=5)
+        ed = EntityDisambiguation(self.root_dir, self.wiki_version,
+                                  {"mode": "eval", "model_path": "ed-wiki-2019"})
+        inputs = {t: [t, []] for t in targets}
+        mentions, _ = md.find_mentions(inputs, tagger)
+        preds, _ = ed.predict(mentions)
+        results = process_results(mentions, preds, inputs)
+        out: Dict[str, Tuple[Optional[str], Optional[str]]] = {}
+        for t in targets:
+            ent = None
+            for span in results.get(t, []):
+                if span[5] >= self.threshold:  # confidence
+                    ent = span[3]
+                    break
+            out[t] = (ent, self._describe(ent) if ent else None)
+        return out
+
+    def _describe(self, entity: str) -> Optional[str]:
+        try:
+            import wikipedia
+
+            done = False
+            while not done:
+                try:
+                    page = wikipedia.WikipediaPage(entity)
+                    done = True
+                except wikipedia.DisambiguationError as e:
+                    entity = str(e).split("\n")[1]
+            text = page.content
+            return text[: text.find("\n")]
+        except Exception:
+            return None
+
+
+def integrate_entities_into_embeddings(word_embeddings: jnp.ndarray,
+                                       descriptions: List[str],
+                                       tokenizer) -> jnp.ndarray:
+    """Grow the word-embedding table by len(descriptions) rows, each
+    initialized as the max-pool of the description's token embeddings —
+    the reference's integrate_entities_into_model math
+    (vault/entity_linking.py:115-148).  ``descriptions`` are in the order
+    the entity tokens were added (last added = last row)."""
+    n_new = len(descriptions)
+    if n_new == 0:
+        return word_embeddings
+    dim = word_embeddings.shape[1]
+    new_rows = np.zeros((n_new, dim), np.float32)
+    emb = np.asarray(word_embeddings)
+    for i, description in enumerate(reversed(descriptions)):
+        ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(description))
+        ids = [j for j in ids if j < emb.shape[0]]
+        if ids:
+            new_rows[n_new - 1 - i] = emb[ids].max(axis=0)
+    return jnp.concatenate([word_embeddings, jnp.asarray(new_rows)], axis=0)

@@ -130,6 +130,8 @@ class WordPieceTokenizer:
         self.mask_token = mask_token
         self.max_chars_per_word = max_chars_per_word
         self.added_tokens: Dict[str, int] = {}
+        self._native = None  # lazily built fast path (vault_tpu/text/native.py)
+        self._native_tried = False
 
     # -- vocab management (reference: --add_placeholder_token adds "$T$" and
     #    resizes embeddings, experiments/clsf_vault.py:99-100, 205-209) -----
@@ -214,6 +216,26 @@ class WordPieceTokenizer:
             chunks = next_chunks
         return chunks
 
+    def _ids_for_text(self, text: str) -> List[int]:
+        """Encode body text to ids; uses the native C++ core when available
+        and applicable (ASCII, no added/special tokens embedded)."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from vault_tpu.text.native import NativeWordPiece
+
+                nat = NativeWordPiece(self.vocab, self.vocab[self.unk_token],
+                                      self.basic.lowercase,
+                                      self.max_chars_per_word)
+                self._native = nat if nat.available else None
+            except Exception:
+                self._native = None
+        if self._native is not None and not any(t in text for t in self._protected):
+            ids = self._native.tokenize_to_ids(text)
+            if ids is not None:
+                return ids
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
         out = []
         for t in tokens:
@@ -237,8 +259,8 @@ class WordPieceTokenizer:
         """Returns input_ids / attention_mask / token_type_ids, matching HF
         ``padding="max_length", truncation=True`` (longest_first for pairs) as
         the reference's datasets call it (vault/vl_utils/dataset.py:190-200)."""
-        a = self.tokenize(text)
-        b = self.tokenize(text_pair) if text_pair is not None else None
+        a = self._ids_for_text(text)
+        b = self._ids_for_text(text_pair) if text_pair is not None else None
         n_special = 3 if b is not None else 2
         if truncation and max_length is not None:
             budget = max_length - n_special
@@ -251,12 +273,13 @@ class WordPieceTokenizer:
                         a = a[:-1]
                     else:
                         b = b[:-1]
-        tokens = [self.cls_token] + a + [self.sep_token]
-        type_ids = [0] * len(tokens)
+        cls_id = self.vocab[self.cls_token]
+        sep_id = self.vocab[self.sep_token]
+        ids = [cls_id] + a + [sep_id]
+        type_ids = [0] * len(ids)
         if b is not None:
-            tokens += b + [self.sep_token]
+            ids += b + [sep_id]
             type_ids += [1] * (len(b) + 1)
-        ids = self.convert_tokens_to_ids(tokens)
         mask = [1] * len(ids)
         if padding == "max_length" and max_length is not None:
             pad_n = max_length - len(ids)

@@ -175,8 +175,10 @@ class RetrievalTrainer(Trainer):
             trues.extend(self.get_eval_true(labels))
             for s, lab, iid, tid in zip(logits.tolist(), np.asarray(labels).reshape(-1).tolist(),
                                         image_ids, text_ids):
-                image_scores[iid][s] = int(lab)
-                text_scores[tid][s] = int(lab)
+                # max-merge on score ties so an equal-scored positive is never
+                # shadowed (the reference's dict-keyed-by-score pool loses it)
+                image_scores[iid][s] = max(int(lab), image_scores[iid].get(s, 0))
+                text_scores[tid][s] = max(int(lab), text_scores[tid].get(s, 0))
 
         results = {"eval_loss": total_loss / max(n_pairs, 1)}
         results.update({"eval_accuracy": accuracy(trues, preds),
