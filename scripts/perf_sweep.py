@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""TPU perf sweep: forward throughput across batch sizes and attention
+implementations (XLA vs Pallas fused).  Writes results to stdout as JSON
+lines; used to pick bench.py defaults."""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vault_tpu.models.vault import init_vault, vault_apply
+from vault_tpu.presets import vault_base
+
+SEQ = 40
+CANVAS = (384, 608)
+K_LO, K_HI = 2, 12
+
+
+def measure(cfg, params, batch_size, use_pallas):
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size,
+                                              (batch_size, SEQ)), jnp.int32),
+        "attention_mask": jnp.ones((batch_size, SEQ), jnp.int32),
+        "token_type_ids": jnp.zeros((batch_size, SEQ), jnp.int32),
+        "pixel_values": jnp.asarray(rng.normal(size=(batch_size, 3, *CANVAS)),
+                                    jnp.bfloat16),
+        "pixel_mask": jnp.ones((batch_size, *CANVAS), jnp.int32),
+    }
+
+    def chained(params, batch, k):
+        def body(_, carry):
+            feedback, _ = carry
+            b = dict(batch)
+            b["pixel_values"] = batch["pixel_values"] + feedback
+            out = vault_apply(params, cfg, use_pallas=use_pallas, **b).pooler_output
+            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
+
+        init = (jnp.zeros((), jnp.bfloat16),
+                jnp.zeros((batch_size, cfg.vilt.hidden_size), jnp.bfloat16))
+        _, out = jax.lax.fori_loop(0, k, body, init)
+        return out
+
+    run = jax.jit(chained)
+    np.asarray(run(params, batch, jnp.int32(1)))
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(params, batch, jnp.int32(k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+    return batch_size / per_step, per_step
+
+
+def main():
+    cfg = vault_base("bert-base-uncased")
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    for use_pallas in (False, True):
+        for bs in (16, 32, 64):
+            try:
+                pps, step = measure(cfg, params, bs, use_pallas)
+                print(json.dumps({"batch": bs, "pallas": use_pallas,
+                                  "pairs_per_sec": round(pps, 1),
+                                  "ms_per_step": round(step * 1e3, 2)}),
+                      flush=True)
+            except Exception as e:
+                print(json.dumps({"batch": bs, "pallas": use_pallas,
+                                  "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Llama tower parity vs HF LlamaModel + ViLT composition."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from vault_tpu.config import tiny_vilt_config
+from vault_tpu.models.llama import (
+    LlamaConfig,
+    init_llama,
+    init_lm_projection,
+    llama_apply,
+    llama_params_from_torch,
+    tiny_llama_config,
+)
+from vault_tpu.models.vault import vault_with_llama_tower
+from vault_tpu.models.vilt import init_vilt
+
+
+def _hf_llama(cfg, seed=0):
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaModel
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(seed)
+    m = LlamaModel(hf_cfg)
+    m.eval()
+    return m
+
+
+def test_llama_parity_full_mask():
+    cfg = tiny_llama_config()
+    hf = _hf_llama(cfg)
+    params = llama_params_from_torch(hf.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = llama_apply(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    assert np.abs(np.asarray(out) - ref).max() < 2e-4
+
+
+def test_llama_parity_padded():
+    cfg = tiny_llama_config()
+    hf = _hf_llama(cfg, seed=1)
+    params = llama_params_from_torch(hf.state_dict(), cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    mask[0, 6:] = 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = np.asarray(llama_apply(params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    valid = mask.astype(bool)
+    assert np.abs(out - ref)[valid].max() < 2e-4
+
+
+def test_llama_vilt_composition():
+    llama_cfg = tiny_llama_config(hidden_size=48, num_attention_heads=4,
+                                  num_key_value_heads=2)
+    vilt_cfg = tiny_vilt_config()
+    params = {
+        "llama": init_llama(jax.random.PRNGKey(0), llama_cfg),
+        "vilt": init_vilt(jax.random.PRNGKey(1), vilt_cfg),
+        "lm_proj": init_lm_projection(jax.random.PRNGKey(2), 48,
+                                      vilt_cfg.hidden_size),
+    }
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, llama_cfg.vocab_size, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    pixels = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    pmask = np.ones((2, 64, 64), np.int64)
+    out = vault_with_llama_tower(params, vilt_cfg, llama_cfg,
+                                 jnp.asarray(ids), jnp.asarray(mask),
+                                 pixel_values=jnp.asarray(pixels),
+                                 pixel_mask=jnp.asarray(pmask))
+    assert out.pooler_output.shape == (2, vilt_cfg.hidden_size)
+    assert np.isfinite(np.asarray(out.pooler_output)).all()

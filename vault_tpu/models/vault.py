@@ -204,6 +204,29 @@ def resize_modality_type_embeddings(vilt_params, num_images: int):
 # Task-level apply functions
 # ---------------------------------------------------------------------------
 
+def vault_with_llama_tower(params, vilt_cfg: ViltConfig, llama_cfg,
+                           input_ids, attention_mask=None, token_type_ids=None,
+                           pixel_values=None, pixel_mask=None,
+                           image_embeds=None, deterministic=True, rng=None,
+                           use_pallas=False) -> ViltOutput:
+    """Stretch composition (BASELINE.json config 5): a Llama tower's hidden
+    states, width-projected to ViLT's hidden size, replace the BERT
+    contextual embeddings feeding the co-encoder."""
+    import dataclasses
+
+    from vault_tpu.models.llama import llama_apply
+
+    hidden = llama_apply(params["llama"], llama_cfg, input_ids, attention_mask)
+    if "lm_proj" in params:
+        hidden = linear(params["lm_proj"], hidden)
+    vcfg = dataclasses.replace(vilt_cfg, add_text_position_embeddings=False)
+    return vilt_mod.vilt_apply(
+        params["vilt"], vcfg, attention_mask=attention_mask,
+        token_type_ids=token_type_ids, pixel_values=pixel_values,
+        pixel_mask=pixel_mask, inputs_embeds=hidden, image_embeds=image_embeds,
+        deterministic=deterministic, rng=rng, use_pallas=use_pallas)
+
+
 def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
                              head_dropout: float = 0.1, deterministic=True,
                              rng=None, use_pallas=False, remat=False):
