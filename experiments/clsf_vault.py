@@ -215,8 +215,14 @@ def main():
 
         rng = jax.random.PRNGKey(args.seed + rep)
         params = build_model(args, cfg, n_classes, rng)
+        run_cfg = cfg
+        if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
+            from vault_tpu.models.vault import resize_token_embeddings
 
-        def apply_fn(p, batch, deterministic, rng, _cfg=cfg):
+            params, run_cfg = resize_token_embeddings(
+                params, cfg, len(tokenizer), jax.random.fold_in(rng, 11))
+
+        def apply_fn(p, batch, deterministic, rng, _cfg=run_cfg):
             return vault_for_classification(
                 p, _cfg, batch, head_dropout=args.vilt_dropout_prob,
                 deterministic=deterministic, rng=rng,

@@ -86,7 +86,7 @@ def main():
     from vault_tpu.models.tombert import init_tombert, tombert_apply
     from vault_tpu.models.tomvilt import init_tomvilt, tomvilt_apply
     from vault_tpu.training.experiment import ExperimentHandler
-    from vault_tpu.training.task_trainers import TmscTrainer
+    from vault_tpu.training.task_trainers import TomBertTrainer
 
     if args.debug_tiny:
         from vault_tpu.config import tiny_text_config
@@ -163,9 +163,12 @@ def main():
                                      deterministic=deterministic, rng=rng,
                                      **batch)
 
-        trainer = TmscTrainer(apply_fn, params, targs, train_ds,
-                              dev_dataset=dev_ds, test_dataset=test_ds,
-                              exp_handler=handler)
+        trainer = TomBertTrainer(
+            apply_fn, params, targs, train_ds, dev_dataset=dev_ds,
+            test_dataset=test_ds, exp_handler=handler,
+            resnet_params=params.get("resnet"),
+            resnet_depth=args.resnet_depth,
+            train_image_encoder=args.train_image_encoder)
         trainer.train()
 
 

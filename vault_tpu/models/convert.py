@@ -124,3 +124,43 @@ def vilt_params_from_torch(state_dict, cfg: ViltConfig, prefix: str = ""):
     if "pooler.dense.weight" in sd:
         params["pooler"] = _lin(sd, "pooler.dense")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Task-head converters (HF ViltFor* checkpoints -> our head pytrees)
+# ---------------------------------------------------------------------------
+
+def mlm_head_from_torch(state_dict, prefix: str = "mlm_score."):
+    """ViltForMaskedLM's mlm_score (modeling_vilt.py:889-908); the decoder is
+    tied to the word embeddings so only transform + bias are stored."""
+    sd = strip_prefix(state_dict, prefix)
+    return {
+        "transform": _lin(sd, "transform.dense"),
+        "transform_ln": _ln(sd, "transform.LayerNorm"),
+        "bias": jnp.asarray(_np(sd["bias"])),
+    }
+
+
+def vqa_head_from_torch(state_dict, prefix: str = "classifier."):
+    """ViltForQuestionAnswering's Sequential(Linear, LN, GELU, Linear)."""
+    sd = strip_prefix(state_dict, prefix)
+    return {"in": _lin(sd, "0"), "ln": _ln(sd, "1"), "out": _lin(sd, "3")}
+
+
+def rank_head_from_torch(state_dict, prefix: str = ""):
+    """ViltForImageAndTextRetrieval's rank_output, or the itm-checkpoint
+    surgery: a 2-way itm_score head's row 1 becomes the rank head
+    (vault/models/vault/model.py:375-405)."""
+    sd = strip_prefix(state_dict, prefix)
+    if "rank_output.weight" in sd:
+        return {"out": _lin(sd, "rank_output")}
+    # itm_score is Sequential(Linear(h,h*2), LN, GELU, Linear(h*2,2))? No —
+    # for vilt-b32-finetuned-coco the original itm head is Linear(h, 2).
+    itm = _lin(sd, "itm_score.fc" if "itm_score.fc.weight" in sd else "itm_score")
+    return {"out": {"w": itm["w"][:, 1:2], "b": itm["b"][1:2]}}
+
+
+def pair_head_from_torch(state_dict, prefix: str = "classifier."):
+    """ViltForImagesAndTextClassification's NLVR2 classifier."""
+    sd = strip_prefix(state_dict, prefix)
+    return {"in": _lin(sd, "0"), "ln": _ln(sd, "1"), "out": _lin(sd, "3")}

@@ -143,7 +143,9 @@ def init_vqa_head(rng, cfg: ViltConfig, n_classes: int):
 
 def vqa_head_apply(head, cfg: ViltConfig, pooled):
     x = linear(head["in"], pooled)
-    x = layer_norm(head["ln"], x, cfg.layer_norm_eps)
+    # HF builds this head with bare nn.LayerNorm -> torch default eps 1e-5,
+    # not config.layer_norm_eps (modeling_vilt.py:925-929)
+    x = layer_norm(head["ln"], x, 1e-5)
     x = act_fn("gelu")(x)
     return linear(head["out"], x)
 
@@ -183,9 +185,41 @@ def init_pair_head(rng, cfg: ViltConfig, n_classes: int = 2,
 
 def pair_head_apply(head, cfg: ViltConfig, pooled_concat):
     x = linear(head["in"], pooled_concat)
-    x = layer_norm(head["ln"], x, cfg.layer_norm_eps)
+    # bare nn.LayerNorm in HF -> torch default eps 1e-5 (modeling_vilt.py:1136-1141)
+    x = layer_norm(head["ln"], x, 1e-5)
     x = act_fn("gelu")(x)
     return linear(head["out"], x)
+
+
+def resize_token_embeddings(params, cfg: VaultConfig, new_size: int,
+                            rng=None, stddev: float = 0.02):
+    """Grow the word-embedding table to ``new_size`` rows (new rows
+    normal(0, 0.02)).  Like the reference's resize_token_embeddings
+    (vault/models/vault/model.py:130-135), the LM tower's table is resized
+    when present, otherwise ViLT's."""
+    import dataclasses
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    target = "bert" if cfg.text_tower is not None else "vilt"
+    emb_key = "embeddings" if target == "bert" else "text_embeddings"
+    table = params[target][emb_key]["word"]
+    old, dim = table.shape
+    if new_size <= old:
+        return params, cfg
+    extra = jax.random.normal(rng, (new_size - old, dim), table.dtype) * stddev
+    new_table = jnp.concatenate([table, extra], axis=0)
+    params = {**params, target: {**params[target],
+                                 emb_key: {**params[target][emb_key],
+                                           "word": new_table}}}
+    if target == "bert":
+        cfg = dataclasses.replace(
+            cfg, text_tower=dataclasses.replace(cfg.text_tower,
+                                                vocab_size=new_size))
+    else:
+        cfg = dataclasses.replace(
+            cfg, vilt=dataclasses.replace(cfg.vilt, vocab_size=new_size))
+    return params, cfg
 
 
 def resize_modality_type_embeddings(vilt_params, num_images: int):

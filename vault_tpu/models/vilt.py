@@ -124,14 +124,26 @@ def text_embed(params, cfg: ViltConfig, input_ids=None, token_type_ids=None,
 
 
 def patchify(params, cfg: ViltConfig, pixel_values):
-    """32x32/stride-32 conv patch projection -> (B, hidden, H', W')."""
-    return jax.lax.conv_general_dilated(
-        pixel_values.astype(params["patch_proj"]["w"].dtype),
-        params["patch_proj"]["w"],
-        window_strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ) + params["patch_proj"]["b"][None, :, None, None]
+    """32x32/stride-32 patch projection -> (B, hidden, H', W').
+
+    TPU note: expressed as space-to-depth + one (N, 3072)x(3072, 768) matmul
+    rather than a conv — a stride=kernel "conv" over 3 input channels badly
+    underutilizes the MXU (the contraction dim would be 3), while the
+    flattened form runs at full tile width.  Numerically identical to torch's
+    Conv2d with OIHW weights."""
+    w = params["patch_proj"]["w"]          # (O, I, ph, pw) — torch layout
+    o, i, ph, pw = w.shape
+    x = pixel_values.astype(w.dtype)
+    b, c, h, wd = x.shape
+    gh, gw = h // ph, wd // pw
+    # (B, C, gh, ph, gw, pw) -> (B, gh, gw, C, ph, pw) -> (B*N, C*ph*pw)
+    x = x.reshape(b, c, gh, ph, gw, pw).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(b, gh * gw, c * ph * pw)
+    proj = jnp.matmul(x, w.reshape(o, i * ph * pw).T,
+                      preferred_element_type=jnp.float32)
+    proj = proj.astype(w.dtype) + params["patch_proj"]["b"]
+    # back to the conv's (B, O, gh, gw) layout the callers expect
+    return proj.transpose(0, 2, 1).reshape(b, o, gh, gw)
 
 
 def visual_embed(params, cfg: ViltConfig, pixel_values, pixel_mask,

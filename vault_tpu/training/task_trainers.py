@@ -38,6 +38,46 @@ class TmscTrainer(Trainer):
     TMSC adapter; class exists for symmetry and task-specific extension."""
 
 
+class TomBertTrainer(Trainer):
+    """TMSC trainer for TomBERT/TomViLT with the frozen-ResNet embedding
+    cache: when the image encoder is frozen, region embeddings are computed
+    once up front and written back into the dataset via
+    ``replace_images_with_embeddings`` — the reference computes them during
+    epoch 0 and caches after (vault/models/tombert/trainer.py:63-77);
+    precomputing is the same math and saves epoch 0 too."""
+
+    def __init__(self, *args, resnet_params=None, resnet_depth: int = 101,
+                 train_image_encoder: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.resnet_params = resnet_params
+        self.resnet_depth = resnet_depth
+        self.train_image_encoder = train_image_encoder
+
+    def _cache_embeddings(self, dataset):
+        from vault_tpu.models.resnet import resnet_features
+
+        if (self.train_image_encoder or self.resnet_params is None
+                or not hasattr(dataset, "replace_images_with_embeddings")
+                or getattr(dataset, "embeddings", None) is not None):
+            return
+        import jax as _jax
+
+        feats_fn = _jax.jit(lambda imgs: resnet_features(
+            self.resnet_params, self.resnet_depth, imgs))
+        embs = []
+        images = dataset.images
+        bs = self.args.eval_batch_size
+        for start in range(0, images.shape[0], bs):
+            embs.append(np.asarray(feats_fn(images[start:start + bs])))
+        dataset.replace_images_with_embeddings(np.concatenate(embs))
+
+    def train(self):
+        for ds in (self.train_dataset, self.dev_dataset, self.test_dataset):
+            if ds is not None:
+                self._cache_embeddings(ds)
+        return super().train()
+
+
 class BloombergTrainer(Trainer):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

@@ -127,7 +127,7 @@ class Trainer:
     def __init__(self, apply_fn: Callable, params, args: TrainArgs,
                  train_dataset, dev_dataset=None, test_dataset=None,
                  exp_handler: Optional[ExperimentHandler] = None,
-                 mesh=None):
+                 mesh=None, tensor_parallel: bool = False):
         self.apply_fn = apply_fn
         self.args = args
         self.train_dataset = train_dataset
@@ -136,12 +136,21 @@ class Trainer:
         self.exp_handler = exp_handler or ExperimentHandler()
         self.mesh = mesh if mesh is not None else make_mesh(args.num_data_shards)
         self.dp = int(self.mesh.shape["data"])
-        self.params = replicate(self.mesh, params)
+        self.tensor_parallel = tensor_parallel
+        self.params = self._place(params)
         self.early_stopping = EarlyStopping(
             args.early_stopping_patience, higher_better=args.higher_better)
         self._train_step = None
         self._eval_step = None
         self.step_times: List[float] = []
+
+    def _place(self, tree):
+        """Param/optimizer placement: replicated, or TP-sharded over the
+        mesh "model" axis per vault_tpu/parallel/sharding.py rules."""
+        if not self.tensor_parallel:
+            return replicate(self.mesh, tree)
+        from vault_tpu.parallel.sharding import shard_params
+        return shard_params(self.mesh, tree)
 
     # ------------------------------------------------------------------ jit
     def _build_steps(self, steps_per_epoch: int):
@@ -151,10 +160,7 @@ class Trainer:
             a.lr, num_steps, a.warmup_ratio, a.adam_beta1, a.adam_beta2,
             a.adam_epsilon, a.weight_decay, a.correct_bias)
         self.tx = tx
-        self.opt_state = replicate(self.mesh, tx.init(jax.device_get(self.params)))
-
-        rep = replicated(self.mesh)
-        dat = batch_sharding(self.mesh)
+        self.opt_state = self._place(tx.init(jax.device_get(self.params)))
 
         def train_step(params, opt_state, batch, labels, weight, rng):
             def loss_fn(p):
@@ -171,14 +177,11 @@ class Trainer:
             loss = self.calculate_loss(logits, labels, weight, train=False)
             return logits, loss
 
-        self._train_step = jax.jit(
-            train_step,
-            in_shardings=(rep, rep, dat, dat, dat, rep),
-            out_shardings=(rep, rep, rep),
-            donate_argnums=(0, 1),
-        )
-        self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, dat, dat, dat), out_shardings=(rep, rep))
+        # shardings follow argument placement: params/opt_state were placed by
+        # _place (replicated or TP-sharded), batch/labels/weight arrive via
+        # shard_batch over the "data" axis; GSPMD inserts the collectives.
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
 
     # ----------------------------------------------------------------- loop
     def train(self):
@@ -238,7 +241,7 @@ class Trainer:
         if best is not None:
             self.exp_handler.set_best(best)
         if self.early_stopping.best_params is not None:
-            self.params = replicate(self.mesh, self.early_stopping.best_params)
+            self.params = self._place(self.early_stopping.best_params)
 
         if self.test_dataset is not None:
             results = self.evaluate(self.test_dataset)
@@ -291,7 +294,7 @@ class Trainer:
     def load_weights(self, path: str):
         from vault_tpu.training.checkpoint import restore_checkpoint
         tree = restore_checkpoint(path, jax.device_get(self.params))
-        self.params = replicate(self.mesh, tree)
+        self.params = self._place(tree)
 
     # ------------------------------------------------------- task hooks ---
     def calculate_loss(self, logits, labels, weight, train: bool):
