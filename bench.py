@@ -126,6 +126,25 @@ def bench_torch_baseline():
     return TORCH_BATCH * TORCH_ITERS / dt
 
 
+def bench_host_preprocess():
+    """p50 host-side process+encode latency per pair (tokenize + image
+    resize/normalize/pad) — the preprocessing half of BASELINE.md's p50
+    process+encode metric; the device half is the step time above."""
+    from vault_tpu.data.processor import VaultProcessor
+    from vault_tpu.models.pretrained import build_tokenizer
+
+    proc = VaultProcessor(build_tokenizer("bert-base-uncased"))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+    times = []
+    proc([img], ["a bunch of cats laying on a couch"])  # warm (jit resize)
+    for _ in range(20):
+        t0 = time.perf_counter()
+        proc([img], ["a bunch of cats laying on a couch"])
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2] * 1e3
+
+
 def main():
     tpu_pps = bench_tpu()
     try:
@@ -133,12 +152,19 @@ def main():
     except Exception as e:
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         base_pps = None
+    try:
+        p50_ms = bench_host_preprocess()
+    except Exception as e:
+        print(f"preprocess measurement failed: {e}", file=sys.stderr)
+        p50_ms = None
     ratio = (tpu_pps / base_pps) if base_pps else None
     print(json.dumps({
         "metric": "vault_forward_pairs_per_sec_per_chip",
         "value": round(tpu_pps, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(ratio, 2) if ratio else None,
+        "p50_host_process_encode_ms": round(p50_ms, 2) if p50_ms else None,
+        "device_ms_per_step_batch16": round(16 / tpu_pps * 1e3, 2),
     }))
 
 
