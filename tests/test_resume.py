@@ -1,0 +1,73 @@
+"""Checkpoint/resume: a killed-and-restarted run continues mid-schedule and
+matches the uninterrupted run's final weights (same data order)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.data.loader import InMemoryDataset
+from vault_tpu.models.vault import (
+    init_classifier_head,
+    init_vault,
+    vault_for_classification,
+)
+from vault_tpu.training.experiment import ExperimentHandler
+from vault_tpu.training.trainer import TrainArgs, Trainer
+
+
+def _setup(n=16, seed=0):
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=4),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    rng = np.random.default_rng(seed)
+    feats = {
+        "input_ids": rng.integers(0, cfg.text_tower.vocab_size, (n, 6)).astype(np.int32),
+        "attention_mask": np.ones((n, 6), np.int32),
+        "token_type_ids": np.zeros((n, 6), np.int32),
+        "pixel_values": rng.normal(size=(n, 3, 32, 32)).astype(np.float32),
+        "pixel_mask": np.ones((n, 32, 32), np.int32),
+    }
+    labels = rng.integers(0, 3, n)
+    params = init_vault(jax.random.PRNGKey(seed), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(seed + 1),
+                                          cfg.vilt.hidden_size, 3)
+
+    def apply_fn(p, batch, deterministic, rng):
+        return vault_for_classification(p, cfg, batch, head_dropout=0.0,
+                                        deterministic=True)
+
+    return cfg, params, apply_fn, feats, labels
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    cfg, params0, apply_fn, feats, labels = _setup()
+    params0 = jax.device_get(params0)
+    common = dict(lr=1e-3, train_batch_size=8, num_train_epochs=2,
+                  eval_steps=1, seed=0)
+
+    # uninterrupted: 4 steps (2 epochs x 2 batches)
+    tr_full = Trainer(apply_fn, jax.tree.map(jnp.asarray, params0),
+                      TrainArgs(**common),
+                      InMemoryDataset(feats, labels),
+                      exp_handler=ExperimentHandler(str(tmp_path), "full"))
+    p_full = jax.device_get(tr_full.train())
+
+    # interrupted after 2 steps (max_steps), checkpointing each eval window
+    ck = str(tmp_path / "ck")
+    tr_a = Trainer(apply_fn, jax.tree.map(jnp.asarray, params0),
+                   TrainArgs(**common, max_steps=2, checkpoint_dir=ck),
+                   InMemoryDataset(feats, labels),
+                   exp_handler=ExperimentHandler(str(tmp_path), "a"))
+    tr_a.train()
+
+    # resumed: fresh process state, restores step 2 and finishes
+    tr_b = Trainer(apply_fn, jax.tree.map(jnp.asarray, params0),
+                   TrainArgs(**common, checkpoint_dir=ck, resume=True),
+                   InMemoryDataset(feats, labels),
+                   exp_handler=ExperimentHandler(str(tmp_path), "b"))
+    p_resumed = jax.device_get(tr_b.train())
+
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_resumed)):
+        np.testing.assert_allclose(a, b, atol=1e-5)

@@ -21,6 +21,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host entry point: initialize JAX's distributed runtime over DCN
+    so ``jax.devices()`` spans all hosts and meshes below scale out
+    (SURVEY.md §2.8 communication-backend row; the reference has no
+    distributed backend at all).  No-op when already initialized or when
+    env-based auto-detection applies (TPU pods set the env themselves)."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -45,6 +45,8 @@ def restore_checkpoint(path: str, target: Any) -> Any:
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
         if isinstance(tree, (list, tuple)):
             vals = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
+            if hasattr(tree, "_fields"):  # namedtuple (e.g. optimizer state)
+                return type(tree)(*vals)
             return type(tree)(vals)
         key = prefix.rstrip("/")
         arr = data[key]

@@ -75,6 +75,11 @@ class TrainArgs:
     use_pallas: bool = False
     remat: bool = False
     compute_dtype: str = "float32"
+    # Failure recovery (SURVEY.md §5: absent in the reference; here full
+    # {params, opt_state, step} checkpoints are written at every eval window
+    # and training resumes mid-schedule):
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
 
 
 class EarlyStopping:
@@ -196,11 +201,15 @@ class Trainer:
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
+        start_step = self._maybe_resume() if a.resume else 0
         for epoch in range(int(a.num_train_epochs)):
             if early_stop:
                 break
             for batch, labels in self.train_dataset.batches(
                     a.train_batch_size, shuffle=True, rng=data_rng):
+                if step < start_step:  # resume: fast-forward the schedule
+                    step += 1
+                    continue
                 if a.max_steps > 0 and step >= a.max_steps:
                     logger.info("Forcibly stopping training")
                     early_stop = True
@@ -235,6 +244,7 @@ class Trainer:
                     if early_stop:
                         logger.info("Early stopping at step %d", step + 1)
                         break
+                    self._maybe_checkpoint(step + 1)
                 step += 1
 
         best = self.early_stopping.get_metrics()
@@ -286,6 +296,43 @@ class Trainer:
         total = next(iter(jax.tree.leaves(padded))).shape[0]
         weight = (np.arange(total) < n).astype(np.float32)
         return padded, labels_p, weight
+
+    # ------------------------------------------------- failure recovery ---
+    @property
+    def _ckpt_path(self) -> Optional[str]:
+        import os
+
+        if self.args.checkpoint_dir is None:
+            return None
+        return os.path.join(self.args.checkpoint_dir, "last.ckpt")
+
+    def _maybe_checkpoint(self, step: int):
+        from vault_tpu.training.checkpoint import save_checkpoint
+
+        path = self._ckpt_path
+        if path is None:
+            return
+        save_checkpoint(path, {"params": jax.device_get(self.params),
+                               "opt_state": jax.device_get(self.opt_state),
+                               "step": np.asarray(step)})
+
+    def _maybe_resume(self) -> int:
+        import os
+
+        from vault_tpu.training.checkpoint import restore_checkpoint
+
+        path = self._ckpt_path
+        if path is None or not os.path.exists(path + ".npz"):
+            return 0
+        target = {"params": jax.device_get(self.params),
+                  "opt_state": jax.device_get(self.opt_state),
+                  "step": np.asarray(0)}
+        state = restore_checkpoint(path, target)
+        self.params = self._place(state["params"])
+        self.opt_state = self._place(state["opt_state"])
+        step = int(state["step"])
+        logger.info("resumed from %s at step %d", path, step)
+        return step
 
     def save_weights(self, path: str):
         from vault_tpu.training.checkpoint import save_checkpoint
