@@ -135,7 +135,14 @@ def build_tokenizer(name_or_path: str, max_length: int = 40):
             cfg = _read_config(name_or_path) or {}
             lower = cfg.get("do_lower_case", "uncased" in name_or_path or True)
             return WordPieceTokenizer(vocab, lowercase=bool(lower))
+        vjson = os.path.join(name_or_path, "vocab.json")
+        merges = os.path.join(name_or_path, "merges.txt")
+        if os.path.exists(vjson) and os.path.exists(merges):
+            from vault_tpu.text.bpe import ByteLevelBPE
+
+            return ByteLevelBPE(vjson, merges)
         try:
+            # BERTweet's fastBPE and other exotic formats
             from transformers import AutoTokenizer
 
             return AutoTokenizer.from_pretrained(name_or_path)
