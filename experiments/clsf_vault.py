@@ -48,6 +48,11 @@ VAULT_MODEL_ARGS = dict(
                             help="random-crop augmentation at fetch"),
     debug_tiny=dict(action="store_true",
                     help="debug: tiny model geometry + tiny image canvas"),
+    entity_cache=dict(type=str,
+                      help="JSON entity cache (target -> [entity, "
+                           "description]); adds entity tokens to the "
+                           "tokenizer and max-pool-initializes their "
+                           "embeddings (Twitter201X only)"),
 )
 
 TASK_ARGS = {
@@ -216,11 +221,40 @@ def main():
         rng = jax.random.PRNGKey(args.seed + rep)
         params = build_model(args, cfg, n_classes, rng)
         run_cfg = cfg
+
+        # Optional entity linking (reference: experiments/clsf_vault.py:211-220
+        # + vault/entity_linking.py): entity tokens join the tokenizer and
+        # their embeddings init as max-pool of the description tokens'.
+        if args.task == "Twitter201X" and args.entity_cache and \
+                hasattr(tokenizer, "add_tokens"):
+            from vault_tpu.text.entity_linking import (
+                integrate_entities_into_embeddings,
+                load_entity_cache,
+            )
+
+            cache = load_entity_cache(args.entity_cache) or {}
+            entities = [(e, d) for e, d in cache.values() if e and d]
+            if entities:
+                tokenizer.add_tokens([e for e, _ in entities])
+                target = "bert" if run_cfg.text_tower is not None else "vilt"
+                emb_key = "embeddings" if target == "bert" else "text_embeddings"
+                table = integrate_entities_into_embeddings(
+                    params[target][emb_key]["word"],
+                    [d for _, d in entities], tokenizer)
+                params[target][emb_key]["word"] = table
+                import dataclasses
+                if target == "bert":
+                    run_cfg = dataclasses.replace(run_cfg, text_tower=dataclasses.replace(
+                        run_cfg.text_tower, vocab_size=table.shape[0]))
+                else:
+                    run_cfg = dataclasses.replace(run_cfg, vilt=dataclasses.replace(
+                        run_cfg.vilt, vocab_size=table.shape[0]))
+
         if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
             from vault_tpu.models.vault import resize_token_embeddings
 
             params, run_cfg = resize_token_embeddings(
-                params, cfg, len(tokenizer), jax.random.fold_in(rng, 11))
+                params, run_cfg, len(tokenizer), jax.random.fold_in(rng, 11))
 
         def apply_fn(p, batch, deterministic, rng, _cfg=run_cfg):
             return vault_for_classification(

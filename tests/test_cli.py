@@ -60,6 +60,25 @@ def test_clsf_vault_cli(tmp_path):
     assert os.path.exists(os.path.join(d, "aggregated_metrics.yml"))
 
 
+def test_clsf_vault_entity_cache(tmp_path):
+    import json
+
+    data_dir = _make_twitter(tmp_path)
+    logs = str(tmp_path / "logs")
+    cache = tmp_path / "entities.json"
+    cache.write_text(json.dumps({
+        "target 0": ["Target_Zero", "a tweet about stuff"],
+        "target 1": [None, None],
+    }))
+    res = _run([sys.executable, "experiments/clsf_vault.py", "Twitter201X",
+                "--dir", data_dir, "--train_split", "train",
+                "--bert_model_name_or_path", "bert-base-uncased",
+                "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--experiment_root", logs,
+                "--entity_cache", str(cache)])
+    assert res.returncode == 0, res.stderr[-3000:]
+
+
 def test_tmsc_tombert_cli(tmp_path):
     data_dir = _make_twitter(tmp_path)
     logs = str(tmp_path / "logs")
