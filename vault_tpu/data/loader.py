@@ -51,6 +51,38 @@ class InMemoryDataset:
             yield feats, labels
 
 
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: overlaps host-side batch assembly (image
+    decode/resize, tokenization) with device compute — the role the
+    reference's DataLoader(num_workers=...) plays
+    (vault/tmsc_utils/trainer.py:290-310)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surface worker errors in the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 class LazyDataset:
     """Per-fetch encoding (images decoded/augmented at batch time) — the
     reference's lazy mode (vault/vl_utils/dataset.py:148-158) for datasets too

@@ -80,6 +80,8 @@ class TrainArgs:
     # and training resumes mid-schedule):
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # host/device overlap: batches assembled on a background thread
+    prefetch_batches: int = 2
 
 
 class EarlyStopping:
@@ -205,8 +207,13 @@ class Trainer:
         for epoch in range(int(a.num_train_epochs)):
             if early_stop:
                 break
-            for batch, labels in self.train_dataset.batches(
-                    a.train_batch_size, shuffle=True, rng=data_rng):
+            batch_iter = self.train_dataset.batches(
+                a.train_batch_size, shuffle=True, rng=data_rng)
+            if a.prefetch_batches > 0:
+                from vault_tpu.data.loader import prefetch
+
+                batch_iter = prefetch(batch_iter, a.prefetch_batches)
+            for batch, labels in batch_iter:
                 if step < start_step:  # resume: fast-forward the schedule
                     step += 1
                     continue
