@@ -20,8 +20,7 @@ model's 1e-3 output budget and are covered by the processor tests.
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax

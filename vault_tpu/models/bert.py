@@ -12,8 +12,6 @@ rematerialization point), instead of Python-level per-layer modules.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ before the co-encoder consumes it as inputs_embeds.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

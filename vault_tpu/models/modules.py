@@ -13,7 +13,7 @@ Rebuild of vault/modules.py (SURVEY.md §2.3):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -11,10 +11,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import numpy as np
 
 from vault_tpu.config import TextTowerConfig, VaultConfig, ViltConfig
 from vault_tpu.models import bert as bert_mod

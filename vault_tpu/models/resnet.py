@@ -15,7 +15,7 @@ pass-through (x.ndim != 4) is preserved.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

@@ -14,7 +14,6 @@ tower, multimodal encoder AND cross encoder.
 
 from __future__ import annotations
 
-import copy
 from typing import Dict, Optional
 
 import jax
@@ -28,11 +27,7 @@ from vault_tpu.models.modules import (
     init_pooler_dim,
     pooler_dim_apply,
 )
-from vault_tpu.models.resnet import (
-    RESNET_OUT_DIM,
-    init_resnet,
-    resnet_embed,
-)
+from vault_tpu.models.resnet import init_resnet, resnet_embed
 from vault_tpu.ops.masks import extend_attention_mask
 from vault_tpu.ops.nn import dropout, init_linear, linear
 

@@ -19,12 +19,12 @@ Heads (reference locations):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
-from vault_tpu.config import TextTowerConfig, VaultConfig, ViltConfig
+from vault_tpu.config import VaultConfig, ViltConfig
 from vault_tpu.models import bert as bert_mod
 from vault_tpu.models import vilt as vilt_mod
 from vault_tpu.models.vilt import ViltOutput

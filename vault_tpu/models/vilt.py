@@ -22,7 +22,7 @@ TPU-native deviations (documented in SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ Two execution paths, selected via ``use_pallas``:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

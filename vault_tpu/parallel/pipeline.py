@@ -18,7 +18,6 @@ parity with the reference's only model-parallel construct.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -8,8 +8,7 @@ process+encode metric in BASELINE.md)."""
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 import jax

@@ -12,7 +12,7 @@ parity with ``BertTokenizer`` is asserted in tests/test_tokenizer.py.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 
 def load_vocab(vocab_file: str) -> Dict[str, int]:

@@ -7,7 +7,7 @@ random / 10% unchanged) and a CE-over-masked-positions loss."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

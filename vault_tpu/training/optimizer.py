@@ -13,7 +13,7 @@ from optax.adamw in two ways we reproduce exactly:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,18 +18,13 @@ Behavioral rebuilds of the reference's six Vault trainers
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
-import jax
 
 from vault_tpu.parallel.mesh import shard_batch
 from vault_tpu.training import losses
-from vault_tpu.training.metrics import (
-    accuracy,
-    f1_score,
-    precision_recall_fscore,
-)
+from vault_tpu.training.metrics import accuracy, f1_score
 from vault_tpu.training.trainer import Trainer
 
 

@@ -18,24 +18,19 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
 
 from vault_tpu.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     pad_to_multiple,
     replicate,
-    replicated,
     shard_batch,
 )
 from vault_tpu.training import losses as losses_mod
