@@ -254,3 +254,17 @@ def test_experiment_aggregation(tmp_path):
     assert "test_eval_accuracy" in agg[""]
     mean = float(agg[""]["test_eval_accuracy"].split("+-")[0])
     assert abs(mean - 0.71) < 1e-6
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from vault_tpu.training.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    tree = {"a": {"b": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "c": np.ones(4, np.float32)}
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, tree)
+    out = restore_checkpoint_orbax(path, jax.tree.map(np.zeros_like, tree))
+    np.testing.assert_allclose(out["a"]["b"], tree["a"]["b"])

@@ -34,6 +34,24 @@ def save_checkpoint(path: str, tree: Any):
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
 
 
+def save_checkpoint_orbax(path: str, tree: Any):
+    """Orbax backend (async-capable, multi-host-aware) — optional alternative
+    to the npz default."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(tree), force=True)
+
+
+def restore_checkpoint_orbax(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=jax.device_get(target))
+
+
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore into the structure of ``target`` (shapes validated)."""
     if not path.endswith(".npz") and os.path.exists(path + ".npz"):
