@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Training-step throughput at full geometry on the TPU: fwd+bwd+HF-AdamW
+update for VAuLT (bert-base tower + vilt-b32), bf16 activations / fp32
+optimizer.  Slope-timed like bench.py.  Also serves as the full-size compile
+check for the training path on real hardware."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from vault_tpu.models.vault import (
+    init_classifier_head,
+    init_vault,
+    vault_for_classification,
+)
+from vault_tpu.presets import vault_base
+from vault_tpu.training.optimizer import make_optimizer
+
+BATCH = 16
+SEQ = 40
+CANVAS = (384, 608)
+K_LO, K_HI = 2, 8
+
+
+def main():
+    cfg = vault_base("bert-base-uncased")
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size,
+                                              (BATCH, SEQ)), jnp.int32),
+        "attention_mask": jnp.ones((BATCH, SEQ), jnp.int32),
+        "token_type_ids": jnp.zeros((BATCH, SEQ), jnp.int32),
+        "pixel_values": jnp.asarray(rng.normal(size=(BATCH, 3, *CANVAS)),
+                                    jnp.float32),
+        "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
+    }
+    labels = jnp.asarray(rng.integers(0, 3, BATCH), jnp.int32)
+
+    tx, _ = make_optimizer(2e-5, 1000)
+    opt_state = tx.init(params)
+
+    def one_step(params, opt_state, batch, labels, rng):
+        def loss_fn(p):
+            logits = vault_for_classification(p, cfg, batch, head_dropout=0.1,
+                                              deterministic=False, rng=rng)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def chained(params, opt_state, batch, labels, k):
+        def body(_, carry):
+            p, s, _l = carry
+            return one_step(p, s, batch, labels, jax.random.PRNGKey(0))
+
+        return jax.lax.fori_loop(0, k, body,
+                                 (params, opt_state, jnp.float32(0.0)))
+
+    run = jax.jit(chained)
+    # fetch only the final loss scalar: it depends on the whole update chain
+    # (tunnel note: block_until_ready alone under-synchronizes; a host fetch
+    # of a chain-dependent value is the reliable barrier)
+    np.asarray(run(params, opt_state, batch, labels, jnp.int32(1))[2])
+    print("compiled", file=sys.stderr)
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run(params, opt_state, batch, labels, jnp.int32(k))[2])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+    print(json.dumps({
+        "metric": "vault_train_step_pairs_per_sec_per_chip",
+        "value": round(BATCH / per_step, 2),
+        "unit": "pairs/sec/chip",
+        "ms_per_train_step_batch16": round(per_step * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

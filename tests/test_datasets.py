@@ -217,3 +217,19 @@ def test_demojizer_selector():
     assert "😀" not in out and "(" in out and "grinning" in out.lower()
     # unknown model -> identity
     assert demojizer_selector("whatever")("x 😀") == "x 😀"
+
+
+def test_multi_text_per_image_flattening(tmp_path):
+    # reference effective_inds behavior (vault/vl_utils/dataset.py:136-141)
+    p1 = tmp_path / "a.jpg"; p2 = tmp_path / "b.jpg"
+    _img(p1); _img(p2)
+    ds = VisionLanguageDataset(
+        ids=[10, 20],
+        texts=[["the fox", "a dog"], ["good day"]],
+        image_paths=[str(p1), str(p2)],
+        labels=[0, 1], processor=_proc(), max_length=8)
+    assert ds.num_examples == 3
+    assert ds.ids == [10, 10, 20]
+    assert ds.labels.tolist() == [0, 0, 1]
+    (f, l), = list(ds.batches(4))
+    assert f["pixel_values"].shape[0] == 3

@@ -312,6 +312,20 @@ class VisionLanguageDataset:
         self.name = name
         self.processor = processor
         self.augment = augment
+        # multi-text-per-image flattening (the reference's effective_inds,
+        # vault/vl_utils/dataset.py:136-141): a list entry per image may be a
+        # list of texts; each text becomes an example re-using its image.
+        if texts and isinstance(texts[0], (list, tuple)):
+            flat_texts, flat_paths, flat_ids, flat_labels = [], [], [], []
+            for i, group in enumerate(texts):
+                for t in group:
+                    flat_texts.append(t)
+                    flat_paths.append(image_paths[i])
+                    flat_ids.append(ids[i])
+                    flat_labels.append(np.asarray(labels)[i])
+            texts, image_paths, ids = flat_texts, flat_paths, flat_ids
+            labels = np.asarray(flat_labels)
+        self.ids = list(ids)
         self.texts = [pre(t) for t in texts]
         self.image_paths = list(image_paths)
         self.labels = np.asarray(labels)
