@@ -58,3 +58,39 @@ def test_model_with_pallas_flag():
                    pixel_mask=jnp.asarray(pmask), use_pallas=True)
     np.testing.assert_allclose(np.asarray(a.pooler_output),
                                np.asarray(b.pooler_output), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,h,l,d", [(2, 4, 32, 16), (1, 12, 256, 64)])
+def test_fused_batched_matches_xla(b, h, l, d):
+    from vault_tpu.ops.pallas_attention import fused_attention_batched
+
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, l // 2:] = 0
+    bias = extend_attention_mask(jnp.asarray(mask))
+    ref = attend_xla(q, k, v, bias)
+    out = fused_attention_batched(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attend_grad_matches_xla():
+    from vault_tpu.ops.attention import attend
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 16, 8)), jnp.float32)
+    bias = extend_attention_mask(jnp.ones((1, 16), jnp.int32))
+
+    def loss(fn_pallas):
+        def f(q, k, v):
+            return jnp.sum(attend(q, k, v, bias, use_pallas=fn_pallas) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_ref = loss(False)
+    g_pal = loss(True)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -56,6 +56,29 @@ def attend_xla(
     return out.astype(v.dtype)
 
 
+@jax.custom_vjp
+def _pallas_attend(q, k, v, bias):
+    from vault_tpu.ops.pallas_attention import fused_attention_batched
+
+    return fused_attention_batched(q, k, v, bias)
+
+
+def _pallas_attend_fwd(q, k, v, bias):
+    return _pallas_attend(q, k, v, bias), (q, k, v, bias)
+
+
+def _pallas_attend_bwd(residuals, g):
+    # backward recomputed through the XLA path (flash-style recompute: the
+    # forward never materialized probs, so the bwd re-derives them)
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(lambda q, k, v: attend_xla(q, k, v, bias), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_pallas_attend.defvjp(_pallas_attend_fwd, _pallas_attend_bwd)
+
+
 def attend(
     q: jax.Array,
     k: jax.Array,
@@ -67,7 +90,8 @@ def attend(
     use_pallas: bool = False,
 ) -> jax.Array:
     if use_pallas and deterministic:
-        from vault_tpu.ops.pallas_attention import fused_attention
-
-        return fused_attention(q, k, v, bias)
+        if bias is None:
+            b, _, l, _ = q.shape
+            bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+        return _pallas_attend(q, k, v, bias)
     return attend_xla(q, k, v, bias, dropout_rng, dropout_rate, deterministic)

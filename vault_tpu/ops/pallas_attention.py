@@ -46,6 +46,64 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _attn_kernel_batched(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    """One program per BATCH row; heads iterated in-kernel (v5e has a single
+    TensorCore, so a fine (B, H) grid only adds program-switch overhead —
+    measured slower than XLA; this shape beats it by keeping the fp32 score
+    tile in VMEM across the whole head loop)."""
+    h = q_ref.shape[1]
+    d = q_ref.shape[-1]
+    bias_row = bias_ref[0, 0].astype(jnp.float32)        # (1, L)
+
+    def head(i, _):
+        q = q_ref[0, i]                                   # (L, D)
+        k = k_ref[0, i]
+        v = v_ref[0, i]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / (d ** 0.5)) + bias_row
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, i] = out.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h, head, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention_batched(q: jax.Array, k: jax.Array, v: jax.Array,
+                            bias: jax.Array | None,
+                            interpret: bool | None = None) -> jax.Array:
+    """grid (B,) variant; bias (B, 1, 1, L) or None."""
+    b, h, l, d = q.shape
+    if bias is None:
+        bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, 1, l), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attn_kernel_batched,
+        grid=(b,),
+        in_specs=[spec, spec, spec, bias_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=4 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+    )(q, k, v, bias)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: jax.Array | None, interpret: bool | None = None) -> jax.Array:
