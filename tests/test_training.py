@@ -268,3 +268,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     save_checkpoint_orbax(path, tree)
     out = restore_checkpoint_orbax(path, jax.tree.map(np.zeros_like, tree))
     np.testing.assert_allclose(out["a"]["b"], tree["a"]["b"])
+
+
+def test_discard_classifier_warm_start(tmp_path):
+    from vault_tpu.training.checkpoint import save_checkpoint
+
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=8)
+    ds = InMemoryDataset(feats, labels)
+    # checkpoint with a head trained elsewhere
+    old = jax.device_get(params)
+    ckpt = str(tmp_path / "warm")
+    save_checkpoint(ckpt, {k: v for k, v in old.items() if k != "head"})
+
+    args = TrainArgs(model_load_filename=ckpt, discard_classifier=True,
+                     num_train_epochs=1, max_steps=0, train_batch_size=8)
+    tr = Trainer(apply_fn, params, args, ds,
+                 exp_handler=ExperimentHandler(str(tmp_path), "warm"))
+    tr.load_weights(ckpt)
+    restored = jax.device_get(tr.params)
+    np.testing.assert_allclose(
+        np.asarray(restored["vilt"]["cls_token"]),
+        np.asarray(old["vilt"]["cls_token"]))
+    assert "head" in restored  # fresh head kept

@@ -64,6 +64,10 @@ class TrainArgs:
     higher_better: bool = True
     model_save: bool = False
     model_load_filename: Optional[str] = None
+    # drop the classifier head on warm start (task transfer) — the
+    # reference's MyTrainingArguments.discard_classifier
+    # (vault/train_utils.py:178-285)
+    discard_classifier: bool = False
     seed: int = 0
     # TPU-native:
     num_data_shards: Optional[int] = None     # default: all devices
@@ -342,7 +346,16 @@ class Trainer:
 
     def load_weights(self, path: str):
         from vault_tpu.training.checkpoint import restore_checkpoint
-        tree = restore_checkpoint(path, jax.device_get(self.params))
+
+        current = jax.device_get(self.params)
+        head_keys = {"head", "vqa", "rank", "pair", "mlm", "classifier"}
+        if self.args.discard_classifier:
+            target = {k: v for k, v in current.items() if k not in head_keys}
+        else:
+            target = current
+        tree = restore_checkpoint(path, target)
+        if self.args.discard_classifier:
+            tree = {**current, **tree}  # restored backbone + fresh heads
         self.params = self._place(tree)
 
     # ------------------------------------------------------- task hooks ---
