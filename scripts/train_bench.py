@@ -50,9 +50,16 @@ def main():
     tx, _ = make_optimizer(2e-5, 1000)
     opt_state = tx.init(params)
 
+    def cast_bf16(p):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
     def one_step(params, opt_state, batch, labels, rng):
         def loss_fn(p):
-            logits = vault_for_classification(p, cfg, batch, head_dropout=0.1,
+            # mixed precision: bf16 compute, fp32 master weights
+            logits = vault_for_classification(cast_bf16(p), cfg, batch,
+                                              head_dropout=0.1,
                                               deterministic=False, rng=rng)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()

@@ -290,3 +290,17 @@ def test_discard_classifier_warm_start(tmp_path):
         np.asarray(restored["vilt"]["cls_token"]),
         np.asarray(old["vilt"]["cls_token"]))
     assert "head" in restored  # fresh head kept
+
+
+def test_mixed_precision_training_descends():
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=32)
+    ds = InMemoryDataset(feats, labels)
+    args = TrainArgs(lr=5e-3, train_batch_size=16, num_train_epochs=4,
+                     compute_dtype="bfloat16", seed=0)
+    h = ExperimentHandler("/tmp/mp_test", "mp")
+    tr = Trainer(apply_fn, params, args, ds, exp_handler=h)
+    tr.train()
+    losses = h._series["train_loss"]
+    assert losses[-1] < losses[0], losses
+    # master weights stayed fp32
+    assert jax.tree.leaves(tr.params)[0].dtype == jnp.float32

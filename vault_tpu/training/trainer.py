@@ -168,9 +168,22 @@ class Trainer:
         self.tx = tx
         self.opt_state = self._place(tx.init(jax.device_get(self.params)))
 
+        def cast_compute(p):
+            """Mixed precision: bf16 compute copy; fp32 master weights stay in
+            the optimizer.  The cast is differentiable, so grads accumulate
+            back into fp32."""
+            if a.compute_dtype != "bfloat16":
+                return p
+            import jax.numpy as jnp
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, p)
+
         def train_step(params, opt_state, batch, labels, weight, rng):
             def loss_fn(p):
-                logits = self.apply_fn(p, batch, deterministic=False, rng=rng)
+                logits = self.apply_fn(cast_compute(p), batch,
+                                       deterministic=False, rng=rng)
                 return self.calculate_loss(logits, labels, weight, train=True)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -179,7 +192,8 @@ class Trainer:
             return params, opt_state, loss
 
         def eval_step(params, batch, labels, weight):
-            logits = self.apply_fn(params, batch, deterministic=True, rng=None)
+            logits = self.apply_fn(cast_compute(params), batch,
+                                   deterministic=True, rng=None)
             loss = self.calculate_loss(logits, labels, weight, train=False)
             return logits, loss
 
