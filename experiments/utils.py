@@ -43,6 +43,9 @@ TRAINER_ARGS = dict(
     num_data_shards=dict(type=int, help="DP mesh size (default: all devices)"),
     use_pallas=dict(action="store_true", help="use Pallas fused attention"),
     remat=dict(action="store_true", help="rematerialize encoder layers"),
+    compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
+                       type=str, help="activation/matmul dtype (fp32 master "
+                       "weights either way)"),
     seed=dict(default=0, type=int, help="base random seed"),
 )
 
@@ -63,7 +66,7 @@ def trainer_args_from_namespace(args, **overrides):
         model_save=args.model_save,
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
-        remat=args.remat, seed=args.seed,
+        remat=args.remat, compute_dtype=args.compute_dtype, seed=args.seed,
     )
     kw.update(overrides)
     return TrainArgs(**kw)

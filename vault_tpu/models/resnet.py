@@ -114,6 +114,7 @@ def resnet_features(params, depth: int, x: jax.Array) -> jax.Array:
     kind, blocks = RESNET_LAYERS[depth]
     block_fn = _basic_block if kind == "basic" else _bottleneck_block
 
+    x = x.astype(params["stem"]["conv"].dtype)  # follow compute dtype
     x = _conv(x, params["stem"]["conv"], 2, 3)
     x = jax.nn.relu(_bn(params["stem"]["bn"], x))
     # torch MaxPool2d(kernel=3, stride=2, padding=1): pad with -inf

@@ -103,7 +103,8 @@ def tombert_apply(params, cfg: TextTowerConfig, input_ids, target_input_ids,
     # regions are all valid (fixed 7x7 grid) -> image-part bias is zeros
     image_bias = None
 
-    vis = linear(params["vis_mapper"], visual_embeddings)
+    vis = linear(params["vis_mapper"],
+                 visual_embeddings.astype(params["vis_mapper"]["w"].dtype))
     attended = cross_encoder_apply(params["cross"], cfg, target_out, vis,
                                    image_bias, deterministic, rngs[2])
     pooled_vis = pooler_dim_apply(params["cross_pooler"], attended, 0)  # (B, H)

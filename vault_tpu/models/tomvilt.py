@@ -71,7 +71,8 @@ def tomvilt_apply(params, vault_cfg: VaultConfig, target_cfg: TextTowerConfig,
     if image_attention_mask is not None:
         image_bias = extend_attention_mask(image_attention_mask, jnp.float32)
 
-    vis = linear(params["vis_mapper"], visual_embeddings)
+    vis = linear(params["vis_mapper"],
+                 visual_embeddings.astype(params["vis_mapper"]["w"].dtype))
     attended = cross_encoder_apply(params["cross"], target_cfg, target_out,
                                    vis, image_bias, deterministic, rngs[1])
 
