@@ -24,7 +24,7 @@ from vault_tpu.models.vault import (
 from vault_tpu.presets import vault_base
 from vault_tpu.training.optimizer import make_optimizer
 
-BATCH = 16
+BATCH = int(__import__("os").environ.get("TRAIN_BENCH_BATCH", 16))
 SEQ = 40
 CANVAS = (384, 608)
 K_LO, K_HI = 2, 8
@@ -96,7 +96,8 @@ def main():
         "metric": "vault_train_step_pairs_per_sec_per_chip",
         "value": round(BATCH / per_step, 2),
         "unit": "pairs/sec/chip",
-        "ms_per_train_step_batch16": round(per_step * 1e3, 2),
+        "batch": BATCH,
+        "ms_per_train_step": round(per_step * 1e3, 2),
     }))
 
 

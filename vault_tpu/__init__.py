@@ -12,3 +12,37 @@ hot loop.
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (kept import-light: heavy deps load on first use).
+from vault_tpu.config import (  # noqa: E402,F401
+    TextTowerConfig,
+    VaultConfig,
+    ViltConfig,
+    bertweet_config,
+)
+
+
+def __getattr__(name):
+    """Lazy re-exports of the main entry points."""
+    import importlib
+
+    table = {
+        "init_vault": ("vault_tpu.models.vault", "init_vault"),
+        "vault_apply": ("vault_tpu.models.vault", "vault_apply"),
+        "vault_for_classification": ("vault_tpu.models.vault",
+                                     "vault_for_classification"),
+        "VaultProcessor": ("vault_tpu.data.processor", "VaultProcessor"),
+        "VaultPipeline": ("vault_tpu.pipeline_api", "VaultPipeline"),
+        "Trainer": ("vault_tpu.training.trainer", "Trainer"),
+        "TrainArgs": ("vault_tpu.training.trainer", "TrainArgs"),
+        "ExperimentHandler": ("vault_tpu.training.experiment",
+                              "ExperimentHandler"),
+        "vault_base": ("vault_tpu.presets", "vault_base"),
+        "load_vault_backbone": ("vault_tpu.models.pretrained",
+                                "load_vault_backbone"),
+        "build_tokenizer": ("vault_tpu.models.pretrained", "build_tokenizer"),
+    }
+    if name in table:
+        mod, attr = table[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
