@@ -105,7 +105,8 @@ def build_model(args, cfg, n_classes, rng):
 
 def main():
     args = parse_args()
-    logging.basicConfig(level=args.logging_level.upper())
+    logging.basicConfig(level=args.logging_level.upper(),
+                        filename=args.logging_file)
 
     from vault_tpu.config import VaultConfig
     from vault_tpu.data.datasets import (

@@ -72,7 +72,8 @@ def parse_args():
 
 def main():
     args = parse_args()
-    logging.basicConfig(level=args.logging_level.upper())
+    logging.basicConfig(level=args.logging_level.upper(),
+                        filename=args.logging_file)
 
     from vault_tpu.config import VaultConfig
     from vault_tpu.data.processor import VaultProcessor

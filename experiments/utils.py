@@ -20,6 +20,7 @@ GENERAL_ARGS = dict(
     reps=dict(default=1, type=int, help="times to repeat experiment"),
     description=dict(type=str, help="description of experiment"),
     logging_level=dict(default="warning", type=str, help="logging severity"),
+    logging_file=dict(type=str, help="log to this file instead of stderr"),
     experiment_root=dict(default="./experiment_logs", type=str,
                          help="where experiment logs are written"),
 )

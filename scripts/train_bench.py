@@ -24,7 +24,8 @@ from vault_tpu.models.vault import (
 from vault_tpu.presets import vault_base
 from vault_tpu.training.optimizer import make_optimizer
 
-BATCH = int(__import__("os").environ.get("TRAIN_BENCH_BATCH", 16))
+BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 16))
+REMAT = os.environ.get("TRAIN_BENCH_REMAT", "0") == "1"
 SEQ = 40
 CANVAS = (384, 608)
 K_LO, K_HI = 2, 8
@@ -60,7 +61,8 @@ def main():
             # mixed precision: bf16 compute, fp32 master weights
             logits = vault_for_classification(cast_bf16(p), cfg, batch,
                                               head_dropout=0.1,
-                                              deterministic=False, rng=rng)
+                                              deterministic=False, rng=rng,
+                                              remat=REMAT)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
@@ -96,7 +98,7 @@ def main():
         "metric": "vault_train_step_pairs_per_sec_per_chip",
         "value": round(BATCH / per_step, 2),
         "unit": "pairs/sec/chip",
-        "batch": BATCH,
+        "batch": BATCH, "remat": REMAT,
         "ms_per_train_step": round(per_step * 1e3, 2),
     }))
 
