@@ -304,3 +304,16 @@ def test_mixed_precision_training_descends():
     assert losses[-1] < losses[0], losses
     # master weights stayed fp32
     assert jax.tree.leaves(tr.params)[0].dtype == jnp.float32
+
+
+def test_experiment_parent_params(tmp_path):
+    h = ExperimentHandler(str(tmp_path), "Par")
+    h.set_param("use_feature", False)
+    h.set_param("feature_strength", 3, parent="use_feature")
+    h.set_param("lr", 0.1)
+    assert "feature_strength" not in h.effective_params()
+    h2 = ExperimentHandler(str(tmp_path), "Par")
+    h2.set_param("use_feature", True)
+    h2.set_param("feature_strength", 3, parent="use_feature")
+    h2.set_param("lr", 0.1)
+    assert h2.effective_params()["feature_strength"] == 3

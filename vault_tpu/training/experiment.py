@@ -45,6 +45,7 @@ class ExperimentHandler:
         self._params: Dict[str, Any] = {}
         self._name_params: List[str] = []
         self._disabled: set = set()
+        self._parents: Dict[str, str] = {}
         self._series: Dict[str, List[float]] = {}
         self._finals: Dict[str, float] = {}
         self._best_step: Optional[int] = None
@@ -52,12 +53,17 @@ class ExperimentHandler:
 
     # -- params ------------------------------------------------------------
     def set_param(self, key: str, value: Any, name: bool = False,
-                  disabled: bool = False):
+                  disabled: bool = False, parent: Optional[str] = None):
+        """``parent``: this param only counts toward run identity when the
+        parent param's value is truthy (reference parent-param semantics,
+        vault/logging_utils.py:150-255)."""
         self._params[key] = value
         if name and key not in self._name_params:
             self._name_params.append(key)
         if disabled:
             self._disabled.add(key)
+        if parent is not None:
+            self._parents[key] = parent
 
     def set_params(self, params: Dict[str, Any]):
         for k, v in params.items():
@@ -76,7 +82,15 @@ class ExperimentHandler:
         raise AttributeError(key)
 
     def effective_params(self) -> Dict[str, Any]:
-        return {k: v for k, v in self._params.items() if k not in self._disabled}
+        out = {}
+        for k, v in self._params.items():
+            if k in self._disabled:
+                continue
+            parent = self._parents.get(k)
+            if parent is not None and not self._params.get(parent):
+                continue  # gated by a disabled/falsy parent feature
+            out[k] = v
+        return out
 
     # -- directory resolution ---------------------------------------------
     def _base_name(self) -> str:
