@@ -113,3 +113,50 @@ def test_renew_vqa_classifier():
     # other layers untouched
     np.testing.assert_allclose(np.asarray(new["in"]["w"]),
                                np.asarray(head["in"]["w"]))
+
+
+def test_vqa_dataset_loading(tmp_path):
+    import json
+    from PIL import Image
+    from vault_tpu.data.vqa_dataset import VqaDataset
+
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    for i in (1, 2):
+        Image.new("RGB", (48, 48), (i * 60, 90, 30)).save(img_dir / f"{i}.jpg")
+    (tmp_path / "q.json").write_text(json.dumps({"questions": [
+        {"question_id": 10, "image_id": 1, "question": "a cat"},
+        {"question_id": 11, "image_id": 2, "question": "a dog"},
+    ]}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": [
+        {"question_id": 10, "image_id": 1,
+         "answers": [{"answer": "Two"}] * 4 + [{"answer": "three"}] * 6},
+        {"question_id": 11, "image_id": 2,
+         "answers": [{"answer": "the dog"}] * 10},
+    ]}))
+    ds = VqaDataset(str(tmp_path / "q.json"), str(tmp_path / "a.json"),
+                    str(img_dir), _processor(), max_length=8)
+    assert ds.num_examples == 2
+    # normalized vocabulary: "2", "three"->"3", "dog" (article stripped)
+    assert set(ds.label2id) == {"2", "3", "dog"}
+    (f, l), = list(ds.batches(4))
+    assert f["pixel_values"].shape[0] == 2
+    row0 = l[0]
+    assert abs(row0[ds.label2id["3"]] - 1.0) < 1e-6      # 6/3 capped at 1
+    assert abs(row0[ds.label2id["2"]] - 1.0) < 1e-6      # 4/3 capped at 1
+    assert l[1][ds.label2id["dog"]] == 1.0
+
+
+def test_lazy_dataset_protocol():
+    from vault_tpu.data.loader import LazyDataset
+
+    calls = []
+
+    def encode(ids, train):
+        calls.append(list(ids))
+        return ({"x": np.asarray(ids, np.float32)[:, None]},
+                np.zeros(len(ids), np.int32))
+
+    ds = LazyDataset(encode, num=5)
+    out = list(ds.batches(2))
+    assert len(out) == 3 and len(calls) == 3
+    assert ds.num_batches(2) == 3
