@@ -130,6 +130,12 @@ def build_tokenizer(name_or_path: str, max_length: int = 40):
 
     if os.path.isdir(name_or_path):
         vocab = os.path.join(name_or_path, "vocab.txt")
+        bpe_codes = os.path.join(name_or_path, "bpe.codes")
+        if os.path.exists(bpe_codes) and os.path.exists(vocab):
+            # BERTweet layout: fairseq dict vocab + fastBPE codes
+            from vault_tpu.text.fastbpe import FastBPE
+
+            return FastBPE(vocab, bpe_codes)
         if os.path.exists(vocab):
             cfg = _read_config(name_or_path) or {}
             lower = cfg.get("do_lower_case", "uncased" in name_or_path or True)

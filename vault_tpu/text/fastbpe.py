@@ -1,0 +1,158 @@
+"""Native fastBPE tokenizer — the BERTweet (`vinai/bertweet-base`) format.
+
+Completes the tokenizer family (WordPiece, byte-level BPE, fastBPE) so every
+LM tower the reference uses runs without the HF runtime.  Contract matches
+HF ``BertweetTokenizer`` (normalization=False, its default):
+
+  * vocab file: "<token> <count>" lines appended after the fairseq specials
+    ``<s>=0, <pad>=1, </s>=2, <unk>=3`` with ``<mask>`` appended last;
+  * merges file: "a b [count]" lines (count dropped), first line may be a
+    version header;
+  * BPE over whitespace tokens with a ``</w>`` end-of-word marker; continuing
+    pieces carry an ``@@`` suffix;
+  * encoding format ``<s> A </s> [</s> B </s>]`` (RoBERTa-style, all
+    token_type 0).
+
+Parity is asserted against ``BertweetTokenizer`` in tests/test_fastbpe.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _read_merges(merges_file: str) -> List[Tuple[str, str]]:
+    with open(merges_file, encoding="utf-8") as f:
+        lines = f.read().split("\n")[:-1]
+    if lines and lines[0].startswith("#version"):
+        lines = lines[1:]
+    return [tuple(l.split()[:2]) for l in lines if l]
+
+
+def _read_vocab(vocab_file: str, bos="<s>", pad="<pad>", eos="</s>",
+                unk="<unk>", mask="<mask>") -> Dict[str, int]:
+    encoder = {bos: 0, pad: 1, eos: 2, unk: 3}
+    with open(vocab_file, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            idx = line.rfind(" ")
+            word = line[:idx] if idx != -1 else line
+            if word not in encoder:
+                encoder[word] = len(encoder)
+    encoder.setdefault(mask, len(encoder))
+    return encoder
+
+
+class FastBPE:
+    def __init__(self, vocab_file: str, merges_file: str,
+                 bos_token: str = "<s>", eos_token: str = "</s>",
+                 pad_token: str = "<pad>", unk_token: str = "<unk>",
+                 mask_token: str = "<mask>"):
+        self.vocab = _read_vocab(vocab_file, bos_token, pad_token, eos_token,
+                                 unk_token, mask_token)
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        merges = _read_merges(merges_file)
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.bos_token, self.eos_token = bos_token, eos_token
+        self.pad_token, self.unk_token = pad_token, unk_token
+        self.mask_token = mask_token
+        self._cache: Dict[str, str] = {}
+
+    @property
+    def pad_token_id(self) -> int:
+        return self.vocab[self.pad_token]
+
+    def __len__(self) -> int:
+        return len(self.vocab)
+
+    def _bpe(self, token: str) -> str:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if len(word) == 1:
+            return token
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, 1 << 30))
+            if best not in self.bpe_ranks:
+                break
+            a, b = best
+            merged: List[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        out = "@@ ".join(word)
+        out = out[:-4]  # strip the trailing "</w>"
+        self._cache[token] = out
+        return out
+
+    def tokenize(self, text: str) -> List[str]:
+        import re
+
+        tokens: List[str] = []
+        for tok in re.findall(r"\S+\n?", text):
+            tokens.extend(self._bpe(tok).split(" "))
+        return tokens
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        unk = self.vocab[self.unk_token]
+        return [self.vocab.get(t, unk) for t in tokens]
+
+    def encode(self, text: str, text_pair: Optional[str] = None,
+               max_length: Optional[int] = None, padding: str = "max_length",
+               truncation: bool = True) -> Dict[str, List[int]]:
+        a = self.convert_tokens_to_ids(self.tokenize(text))
+        b = (self.convert_tokens_to_ids(self.tokenize(text_pair))
+             if text_pair is not None else None)
+        n_special = 4 if b is not None else 2
+        if truncation and max_length is not None:
+            budget = max_length - n_special
+            if b is None:
+                a = a[:budget]
+            else:
+                while len(a) + len(b) > budget:
+                    if len(a) >= len(b):
+                        a = a[:-1]
+                    else:
+                        b = b[:-1]
+        bos, eos = self.vocab[self.bos_token], self.vocab[self.eos_token]
+        ids = [bos] + a + [eos]
+        if b is not None:
+            ids += [eos] + b + [eos]
+        mask = [1] * len(ids)
+        type_ids = [0] * len(ids)
+        if padding == "max_length" and max_length is not None:
+            pad_n = max_length - len(ids)
+            ids += [self.pad_token_id] * pad_n
+            mask += [0] * pad_n
+            type_ids += [0] * pad_n
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": type_ids}
+
+    def batch_encode(self, texts: Sequence[str],
+                     text_pairs: Optional[Sequence[Optional[str]]] = None,
+                     max_length: Optional[int] = None,
+                     padding: str = "max_length", truncation: bool = True):
+        import numpy as np
+
+        if text_pairs is None:
+            text_pairs = [None] * len(texts)
+        encs = [self.encode(t, p, max_length, padding, truncation)
+                for t, p in zip(texts, text_pairs)]
+        if padding != "max_length" or max_length is None:
+            max_len = max(len(e["input_ids"]) for e in encs)
+            for e in encs:
+                pad_n = max_len - len(e["input_ids"])
+                e["input_ids"] += [self.pad_token_id] * pad_n
+                e["attention_mask"] += [0] * pad_n
+                e["token_type_ids"] += [0] * pad_n
+        return {k: np.asarray([e[k] for e in encs], np.int32)
+                for k in ("input_ids", "attention_mask", "token_type_ids")}
