@@ -64,3 +64,19 @@ def test_processor_accepts_fastbpe(files):
     proc = VaultProcessor(FastBPE(*files), max_length=10, canvas=(64, 64))
     out = proc.encode_text(["the cat", "dog running"])
     assert out["input_ids"].shape == (2, 10)
+
+
+@pytest.mark.parametrize("text", [
+    "@john check https://t.co/xyz it's great",
+    "I can't believe it… meet at 5 p. m. ok",
+    "cannot wait, you're going to love this",
+])
+def test_normalization_matches_hf(files, text):
+    from vault_tpu.text.fastbpe import normalize_tweet
+
+    hf = _hf(files)
+    hf.normalization = True
+    from nltk.tokenize import TweetTokenizer
+    hf.tweetPreprocessor = TweetTokenizer()
+    hf.demojizer = None
+    assert normalize_tweet(text) == hf.normalizeTweet(text), text

@@ -133,3 +133,29 @@ def test_processor_end_to_end(tok):
     # first image resizes to 384x512 -> mask valid region matches
     assert enc["pixel_mask"][0, :384, :512].all()
     assert not enc["pixel_mask"][0, :, 512:].any()
+
+
+def test_wordpiece_cased_mode():
+    from transformers import BertTokenizer
+
+    import tempfile, os
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] The the Cat cat ##s".split()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "vocab.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(vocab) + "\n")
+        ours = WordPieceTokenizer(p, lowercase=False)
+        ref = BertTokenizer(p, do_lower_case=False)
+    for text in ("The cat", "Cats the", "The Cat cats"):
+        assert ours.tokenize(text) == ref.tokenize(text), text
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from vault_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.ones(8).sum().block_until_ready()
+    import os
+    assert any("plugins" in r or f for r, d, f in os.walk(tmp_path))

@@ -21,6 +21,44 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 
+SPECIAL_PUNCTS = {"’": "'", "…": "..."}
+
+
+def normalize_tweet(tweet: str, demojizer=None) -> str:
+    """BERTweet's tweet normalization (BertweetTokenizer.normalizeTweet):
+    nltk TweetTokenizer split, @handles -> @USER, urls -> HTTPURL, punct
+    unification, optional demojize, contraction re-spacing.  Requires nltk."""
+    from nltk.tokenize import TweetTokenizer
+
+    for punct, repl in SPECIAL_PUNCTS.items():
+        tweet = tweet.replace(punct, repl)
+
+    def norm_token(token: str) -> str:
+        low = token.lower()
+        if token.startswith("@"):
+            return "@USER"
+        if low.startswith("http") or low.startswith("www"):
+            return "HTTPURL"
+        if len(token) == 1:
+            if token in SPECIAL_PUNCTS:
+                return SPECIAL_PUNCTS[token]
+            return demojizer(token) if demojizer is not None else token
+        return token
+
+    tokens = TweetTokenizer().tokenize(tweet)
+    out = " ".join(norm_token(t) for t in tokens)
+    out = (out.replace("cannot ", "can not ").replace("n't ", " n't ")
+           .replace("n 't ", " n't ").replace("ca n't", "can't")
+           .replace("ai n't", "ain't"))
+    out = (out.replace("'m ", " 'm ").replace("'re ", " 're ")
+           .replace("'s ", " 's ").replace("'ll ", " 'll ")
+           .replace("'d ", " 'd ").replace("'ve ", " 've "))
+    # (HF quirk preserved: p.m. gets a double space, a.m. a single one)
+    out = (out.replace(" p . m .", "  p.m.").replace(" p . m ", " p.m ")
+           .replace(" a . m .", " a.m.").replace(" a . m ", " a.m "))
+    return " ".join(out.split())
+
+
 def _read_merges(merges_file: str) -> List[Tuple[str, str]]:
     with open(merges_file, encoding="utf-8") as f:
         lines = f.read().split("\n")[:-1]
@@ -47,9 +85,10 @@ def _read_vocab(vocab_file: str, bos="<s>", pad="<pad>", eos="</s>",
 
 class FastBPE:
     def __init__(self, vocab_file: str, merges_file: str,
+                 normalization: bool = False,
                  bos_token: str = "<s>", eos_token: str = "</s>",
                  pad_token: str = "<pad>", unk_token: str = "<unk>",
-                 mask_token: str = "<mask>"):
+                 mask_token: str = "<mask>", demojizer=None):
         self.vocab = _read_vocab(vocab_file, bos_token, pad_token, eos_token,
                                  unk_token, mask_token)
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
@@ -58,6 +97,8 @@ class FastBPE:
         self.bos_token, self.eos_token = bos_token, eos_token
         self.pad_token, self.unk_token = pad_token, unk_token
         self.mask_token = mask_token
+        self.normalization = normalization
+        self.demojizer = demojizer
         self._cache: Dict[str, str] = {}
 
     @property
@@ -97,6 +138,8 @@ class FastBPE:
     def tokenize(self, text: str) -> List[str]:
         import re
 
+        if self.normalization:
+            text = normalize_tweet(text, self.demojizer)
         tokens: List[str] = []
         for tok in re.findall(r"\S+\n?", text):
             tokens.extend(self._bpe(tok).split(" "))
