@@ -216,6 +216,10 @@ class Trainer:
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
+        window_loss, window_n = 0.0, 0
+        # NOTE: resume restores params/opt_state/step; early-stopping counters
+        # restart (checkpoints are written at eval-window boundaries, so the
+        # loss window is always freshly initialized after fast-forward).
         start_step = self._maybe_resume() if a.resume else 0
         for epoch in range(int(a.num_train_epochs)):
             if early_stop:
