@@ -169,9 +169,9 @@ def main():
         test_ds = mk(args.test_split) if args.test_split else None
         n_classes = len(train_ds.label_mapping)
         trainer_cls = TmscTrainer
-        dataset_label = train_ds.name if dev_ds is None else (
-            os.path.basename(os.path.normpath(args.dir))
-            + "(" + ";".join(args.train_split) + ";".join([""] + (args.dev_split or [])) + ")")
+        splits = list(args.train_split) + list(args.dev_split or [])
+        dataset_label = (os.path.basename(os.path.normpath(args.dir))
+                         + "(" + ";".join(splits) + ")")
         exp_name = "VaultTMSCTwitter201X"
     elif args.task == "Bloomberg":
         def mk(split):

@@ -89,3 +89,37 @@ def test_llama_vilt_composition():
                                  pixel_mask=jnp.asarray(pmask))
     assert out.pooler_output.shape == (2, vilt_cfg.hidden_size)
     assert np.isfinite(np.asarray(out.pooler_output)).all()
+
+
+def test_llama_vilt_mesh_inference():
+    # batched TPU-mesh inference shape for the stretch config: DP over 8
+    # virtual devices with TP-style replicated params
+    from vault_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    llama_cfg = tiny_llama_config(hidden_size=48, num_attention_heads=4,
+                                  num_key_value_heads=2)
+    vilt_cfg = tiny_vilt_config()
+    params = {
+        "llama": init_llama(jax.random.PRNGKey(0), llama_cfg),
+        "vilt": init_vilt(jax.random.PRNGKey(1), vilt_cfg),
+        "lm_proj": init_lm_projection(jax.random.PRNGKey(2), 48,
+                                      vilt_cfg.hidden_size),
+    }
+    mesh = make_mesh(num_data=8)
+    params = replicate(mesh, params)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        input_ids=rng.integers(0, llama_cfg.vocab_size, (16, 10)).astype(np.int32),
+        attention_mask=np.ones((16, 10), np.int32),
+        pixel_values=rng.normal(size=(16, 3, 64, 64)).astype(np.float32),
+        pixel_mask=np.ones((16, 64, 64), np.int32),
+    )
+    batch = shard_batch(mesh, batch)
+
+    @jax.jit
+    def fwd(p, b):
+        return vault_with_llama_tower(p, vilt_cfg, llama_cfg, **b).pooler_output
+
+    out = fwd(params, batch)
+    assert out.shape == (16, vilt_cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
