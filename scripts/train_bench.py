@@ -25,6 +25,10 @@ from vault_tpu.presets import vault_base
 from vault_tpu.training.optimizer import make_optimizer
 
 BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 16))
+NODROP = os.environ.get("TRAIN_BENCH_NODROP", "0") == "1"
+if os.environ.get("TRAIN_BENCH_RBG", "0") == "1":
+    import jax as _j
+    _j.config.update("jax_default_prng_impl", "rbg")
 REMAT = os.environ.get("TRAIN_BENCH_REMAT", "0") == "1"
 SEQ = 40
 CANVAS = (384, 608)
@@ -61,7 +65,7 @@ def main():
             # mixed precision: bf16 compute, fp32 master weights
             logits = vault_for_classification(cast_bf16(p), cfg, batch,
                                               head_dropout=0.1,
-                                              deterministic=False, rng=rng,
+                                              deterministic=NODROP, rng=rng,
                                               remat=REMAT)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
@@ -98,7 +102,7 @@ def main():
         "metric": "vault_train_step_pairs_per_sec_per_chip",
         "value": round(BATCH / per_step, 2),
         "unit": "pairs/sec/chip",
-        "batch": BATCH, "remat": REMAT,
+        "batch": BATCH, "remat": REMAT, "nodrop": NODROP,
         "ms_per_train_step": round(per_step * 1e3, 2),
     }))
 
