@@ -94,3 +94,26 @@ def test_pallas_attend_grad_matches_xla():
     g_pal = loss(True)
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_model_grad_with_pallas_matches_xla():
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=4)
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6))),
+        attention_mask=jnp.ones((2, 6), jnp.int32),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32),
+        pixel_mask=jnp.ones((2, 32, 32), jnp.int32))
+
+    def loss(p, use_pallas):
+        out = vilt_apply(p, cfg, use_pallas=use_pallas, **batch)
+        return jnp.sum(out.pooler_output ** 2)
+
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    g_p = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
