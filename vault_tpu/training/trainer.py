@@ -72,7 +72,9 @@ class TrainArgs:
     # TPU-native:
     num_data_shards: Optional[int] = None     # default: all devices
     use_pallas: bool = False
-    remat: bool = False
+    # remat measured FASTER than storing scan activations even at batch 16
+    # (41.4 vs 43.4 ms/step full geometry) and required to fit batch 64
+    remat: bool = True
     compute_dtype: str = "float32"
     # Failure recovery (SURVEY.md §5: absent in the reference; here full
     # {params, opt_state, step} checkpoints are written at every eval window
