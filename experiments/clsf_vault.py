@@ -261,7 +261,7 @@ def main():
             return vault_for_classification(
                 p, _cfg, batch, head_dropout=args.vilt_dropout_prob,
                 deterministic=deterministic, rng=rng,
-                use_pallas=args.use_pallas, remat=args.remat)
+                use_pallas=targs.use_pallas, remat=targs.remat)
 
         kw = {}
         if args.task == "MVSA":
