@@ -141,3 +141,57 @@ def test_pair_checkpoint_parity():
         pooled.append(out.pooler_output)
     logits = pair_head_apply(head, cfg, jnp.concatenate(pooled, axis=-1))
     assert np.abs(np.asarray(logits) - ref).max() < 1e-4
+
+
+def test_bert_roundtrip_to_torch():
+    from transformers import BertModel
+
+    from vault_tpu.models.convert import bert_params_to_torch
+    from vault_tpu.models.bert import bert_apply
+    from vault_tpu.config import tiny_text_config
+    from tests.hf_utils import hf_bert_config, make_hf_bert
+
+    cfg = tiny_text_config(hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    hf = make_hf_bert(cfg)
+    from vault_tpu.models.convert import bert_params_from_torch
+    params = bert_params_from_torch(hf.state_dict(), cfg)
+    # export back out and load into a FRESH torch model
+    sd = bert_params_to_torch(params, cfg)
+    fresh = BertModel(hf_bert_config(cfg), add_pooling_layer=False).eval()
+    missing, unexpected = fresh.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 8))
+    with torch.no_grad():
+        a = hf(input_ids=torch.tensor(ids)).last_hidden_state
+        b = fresh(input_ids=torch.tensor(ids)).last_hidden_state
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
+
+
+def test_vilt_roundtrip_to_torch():
+    from transformers import ViltModel
+
+    from vault_tpu.models.convert import (
+        vilt_params_from_torch,
+        vilt_params_to_torch,
+    )
+    from tests.hf_utils import DeterministicMultinomial, hf_vilt_config, make_hf_vilt
+
+    cfg = tiny_vilt_config()
+    hf = make_hf_vilt(cfg)
+    params = vilt_params_from_torch(hf.state_dict(), cfg)
+    sd = vilt_params_to_torch(params, cfg)
+    fresh = ViltModel(hf_vilt_config(cfg)).eval()
+    missing, unexpected = fresh.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (1, 8))
+    pixels = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad(), DeterministicMultinomial():
+        a = hf(input_ids=torch.tensor(ids),
+               pixel_values=torch.tensor(pixels)).pooler_output
+    with torch.no_grad(), DeterministicMultinomial():
+        b = fresh(input_ids=torch.tensor(ids),
+                  pixel_values=torch.tensor(pixels)).pooler_output
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)

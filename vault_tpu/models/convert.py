@@ -16,6 +16,7 @@ Only numpy is required here; tensors may be torch Tensors or numpy arrays.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vault_tpu.config import TextTowerConfig, ViltConfig
@@ -124,6 +125,84 @@ def vilt_params_from_torch(state_dict, cfg: ViltConfig, prefix: str = ""):
     if "pooler.dense.weight" in sd:
         params["pooler"] = _lin(sd, "pooler.dense")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Reverse converters: our pytrees -> HF torch state_dicts (interop back out)
+# ---------------------------------------------------------------------------
+
+def _t(x):
+    import torch
+
+    return torch.tensor(np.asarray(x, np.float32))
+
+
+def _lin_out(sd, name, p):
+    sd[f"{name}.weight"] = _t(p["w"]).T.contiguous()
+    if "b" in p:
+        sd[f"{name}.bias"] = _t(p["b"])
+
+
+def _ln_out(sd, name, p):
+    sd[f"{name}.weight"] = _t(p["scale"])
+    sd[f"{name}.bias"] = _t(p["bias"])
+
+
+def bert_params_to_torch(params, cfg: TextTowerConfig, prefix: str = ""):
+    """Our BERT pytree -> HF BertModel(add_pooling_layer=False) state_dict."""
+    import torch
+
+    sd = {}
+    emb = params["embeddings"]
+    sd["embeddings.word_embeddings.weight"] = _t(emb["word"])
+    sd["embeddings.position_embeddings.weight"] = _t(emb["position"])
+    sd["embeddings.token_type_embeddings.weight"] = _t(emb["token_type"])
+    _ln_out(sd, "embeddings.LayerNorm", emb["ln"])
+    n = cfg.num_hidden_layers
+    for i in range(n):
+        lp = jax.tree.map(lambda x: x[i], params["layers"])
+        p = f"encoder.layer.{i}"
+        _lin_out(sd, f"{p}.attention.self.query", lp["q"])
+        _lin_out(sd, f"{p}.attention.self.key", lp["k"])
+        _lin_out(sd, f"{p}.attention.self.value", lp["v"])
+        _lin_out(sd, f"{p}.attention.output.dense", lp["attn_out"])
+        _ln_out(sd, f"{p}.attention.output.LayerNorm", lp["attn_ln"])
+        _lin_out(sd, f"{p}.intermediate.dense", lp["mlp_in"])
+        _lin_out(sd, f"{p}.output.dense", lp["mlp_out"])
+        _ln_out(sd, f"{p}.output.LayerNorm", lp["mlp_ln"])
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def vilt_params_to_torch(params, cfg: ViltConfig, prefix: str = ""):
+    """Our ViLT pytree -> HF ViltModel state_dict."""
+    import torch
+
+    sd = {}
+    te = params["text_embeddings"]
+    sd["embeddings.text_embeddings.word_embeddings.weight"] = _t(te["word"])
+    sd["embeddings.text_embeddings.position_embeddings.weight"] = _t(te["position"])
+    sd["embeddings.text_embeddings.token_type_embeddings.weight"] = _t(te["token_type"])
+    _ln_out(sd, "embeddings.text_embeddings.LayerNorm", te["ln"])
+    sd["embeddings.cls_token"] = _t(params["cls_token"]).reshape(1, 1, -1)
+    sd["embeddings.patch_embeddings.projection.weight"] = _t(params["patch_proj"]["w"])
+    sd["embeddings.patch_embeddings.projection.bias"] = _t(params["patch_proj"]["b"])
+    sd["embeddings.position_embeddings"] = _t(params["pos_embeddings"])[None]
+    sd["embeddings.token_type_embeddings.weight"] = _t(params["modality_type"])
+    _ln_out(sd, "layernorm", params["final_ln"])
+    for i in range(cfg.num_hidden_layers):
+        lp = jax.tree.map(lambda x: x[i], params["layers"])
+        p = f"encoder.layer.{i}"
+        _ln_out(sd, f"{p}.layernorm_before", lp["ln_before"])
+        _lin_out(sd, f"{p}.attention.attention.query", lp["q"])
+        _lin_out(sd, f"{p}.attention.attention.key", lp["k"])
+        _lin_out(sd, f"{p}.attention.attention.value", lp["v"])
+        _lin_out(sd, f"{p}.attention.output.dense", lp["attn_out"])
+        _ln_out(sd, f"{p}.layernorm_after", lp["ln_after"])
+        _lin_out(sd, f"{p}.intermediate.dense", lp["mlp_in"])
+        _lin_out(sd, f"{p}.output.dense", lp["mlp_out"])
+    if "pooler" in params:
+        _lin_out(sd, "pooler.dense", params["pooler"])
+    return {prefix + k: v for k, v in sd.items()}
 
 
 # ---------------------------------------------------------------------------
