@@ -144,3 +144,58 @@ def test_step_timer():
             pass
     s = t.summary(items_per_step=8)
     assert s["steps"] == 5 and s["items_per_sec"] > 0
+
+
+def test_shard_map_step_matches_gspmd():
+    """The explicit psum train step equals the GSPMD-annotated step."""
+    import optax
+
+    from vault_tpu.models.vault import init_classifier_head, vault_for_classification
+    from vault_tpu.parallel.mesh import replicate, shard_batch
+    from vault_tpu.parallel.shard_map_step import make_shard_map_train_step
+
+    cfg = _tiny_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    batch = _batch(cfg, n=8)
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 3, 8))
+    weight = jnp.ones(8, jnp.float32)
+
+    def apply_fn(p, b, deterministic, rng):
+        return vault_for_classification(p, cfg, b, head_dropout=0.0,
+                                        deterministic=True)
+
+    def per_example_ce(logits, labels):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh(num_data=8)
+
+    # GSPMD path: sharded inputs, jit infers the collective
+    def gspmd_step(p, s, b, l, w):
+        def loss_fn(pp):
+            per = per_example_ce(apply_fn(pp, b, True, None), l)
+            return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    p0 = replicate(mesh, jax.device_get(params))
+    s0 = replicate(mesh, tx.init(jax.device_get(params)))
+    b_sh = shard_batch(mesh, batch)
+    l_sh = shard_batch(mesh, labels)
+    w_sh = shard_batch(mesh, weight)
+    p_ref, _, loss_ref = jax.jit(gspmd_step)(p0, s0, b_sh, l_sh, w_sh)
+
+    # explicit shard_map path
+    step = make_shard_map_train_step(apply_fn, per_example_ce, tx, mesh)
+    p1 = replicate(mesh, jax.device_get(params))
+    s1 = replicate(mesh, tx.init(jax.device_get(params)))
+    p_out, _, loss_out = step(p1, s1, b_sh, l_sh, w_sh, jax.random.PRNGKey(0))
+
+    assert abs(float(loss_out) - float(loss_ref)) < 1e-6
+    for a, b in zip(jax.tree.leaves(jax.device_get(p_ref)),
+                    jax.tree.leaves(jax.device_get(p_out))):
+        np.testing.assert_allclose(a, b, atol=2e-6)

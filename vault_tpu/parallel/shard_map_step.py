@@ -1,0 +1,60 @@
+"""Explicit-collective data-parallel train step via shard_map + psum.
+
+The default trainer lets GSPMD insert the gradient all-reduce from sharding
+annotations (vault_tpu/training/trainer.py).  This module is the manual
+counterpart — per-shard loss/grad with an explicit ``jax.lax.psum`` over the
+"data" axis — useful when collective placement must be controlled by hand
+(e.g. to overlap with compute, or to fuse custom Pallas collectives later).
+Equivalence with the GSPMD path is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def make_shard_map_train_step(apply_fn, loss_per_example_fn, tx, mesh):
+    """Returns step(params, opt_state, batch, labels, weight, rng) ->
+    (params, opt_state, loss).
+
+    ``loss_per_example_fn(logits, labels) -> (B_local,)`` per-example losses;
+    the global weighted mean and its gradient are formed with explicit psums.
+    Params/optimizer state are replicated; batch/labels/weight are sharded
+    along the leading axis over "data".
+    """
+
+    def per_shard(params, opt_state, batch, labels, weight, rng):
+        def local_sum_fn(p):
+            logits = apply_fn(p, batch, deterministic=True, rng=None)
+            per = loss_per_example_fn(logits, labels)
+            # local weighted SUM; normalization by the GLOBAL count below
+            return (per * weight.astype(per.dtype)).sum()
+
+        loss_sum, grads = jax.value_and_grad(local_sum_fn)(params)
+        local_n = weight.astype(jnp.float32).sum()
+
+        # explicit all-reduces over the data axis (ride ICI)
+        global_n = jnp.maximum(jax.lax.psum(local_n, "data"), 1.0)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data") / global_n,
+                             grads)
+        loss = jax.lax.psum(loss_sum, "data") / global_n
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    data_spec = P("data")
+    rep = P()
+    step = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, data_spec, data_spec, data_spec, rep),
+        out_specs=(rep, rep, rep),
+        check_rep=False,  # psum makes grads replicated; updates are identical
+    )
+    return jax.jit(step)
