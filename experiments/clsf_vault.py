@@ -216,6 +216,9 @@ def main():
             "num_train_epochs": args.num_train_epochs,
             "max_length": args.max_length,
         })
+        if args.description:
+            handler.set_param("description", args.description,
+                              disabled=True)
         handler.set_name_params(["bert_model", "dataset", "vilt_model",
                                  "freeze_lm"])
 

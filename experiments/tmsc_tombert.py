@@ -128,6 +128,9 @@ def main():
             "lr": args.lr, "pooling": args.pooling,
             "resnet_depth": args.resnet_depth,
         })
+        if args.description:
+            handler.set_param("description", args.description,
+                              disabled=True)
         handler.set_name_params(["vilt_model", "dataset", "bert_model",
                                  "use_tweet_bert"])
 

@@ -317,3 +317,18 @@ def test_experiment_parent_params(tmp_path):
     h2.set_param("feature_strength", 3, parent="use_feature")
     h2.set_param("lr", 0.1)
     assert h2.effective_params()["feature_strength"] == 3
+
+
+def test_hf_adamw_weight_decay_semantics():
+    # decoupled decay with the SCHEDULED lr, applied after the adam step
+    # (HF AdamW behavior the reference relies on)
+    lr = 0.1
+    wd = 0.01
+    params = {"w": jnp.ones((2,))}
+    tx = hf_adamw(lr, 0.9, 0.999, 1e-8, weight_decay=wd, correct_bias=False)
+    state = tx.init(params)
+    g = jnp.array([1.0, -1.0])
+    upd, _ = tx.update({"w": g}, state, params)
+    m = 0.1 * np.asarray(g); v = 0.001 * np.asarray(g) ** 2
+    expected = -lr * m / (np.sqrt(v) + 1e-8) - lr * wd * np.ones(2)
+    np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-5)

@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def make_shard_map_train_step(apply_fn, loss_per_example_fn, tx, mesh):
@@ -51,10 +54,14 @@ def make_shard_map_train_step(apply_fn, loss_per_example_fn, tx, mesh):
 
     data_spec = P("data")
     rep = P()
-    step = shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(rep, rep, data_spec, data_spec, data_spec, rep),
-        out_specs=(rep, rep, rep),
-        check_rep=False,  # psum makes grads replicated; updates are identical
-    )
+    # psum makes grads replicated, so updates are identical on every shard;
+    # replication checking is disabled (kwarg name changed across jax
+    # versions: check_rep -> check_vma)
+    kw = dict(mesh=mesh,
+              in_specs=(rep, rep, data_spec, data_spec, data_spec, rep),
+              out_specs=(rep, rep, rep))
+    try:
+        step = shard_map(per_shard, check_vma=False, **kw)
+    except TypeError:  # older jax
+        step = shard_map(per_shard, check_rep=False, **kw)
     return jax.jit(step)
