@@ -44,6 +44,8 @@ TRAINER_ARGS = dict(
     num_data_shards=dict(type=int, help="DP mesh size (default: all devices)"),
     use_pallas=dict(action="store_true", help="use Pallas fused attention"),
     no_remat=dict(action="store_true", help="disable encoder-layer rematerialization (remat is default: faster and fits bigger batches)"),
+    grad_accum_steps=dict(default=1, type=int,
+                          help="micro-batches averaged per optimizer step"),
     compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
                        type=str, help="activation/matmul dtype (fp32 master "
                        "weights either way)"),
@@ -67,7 +69,8 @@ def trainer_args_from_namespace(args, **overrides):
         model_save=args.model_save,
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
-        remat=not args.no_remat, compute_dtype=args.compute_dtype, seed=args.seed,
+        remat=not args.no_remat, compute_dtype=args.compute_dtype,
+        grad_accum_steps=args.grad_accum_steps, seed=args.seed,
     )
     kw.update(overrides)
     return TrainArgs(**kw)

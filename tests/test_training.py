@@ -332,3 +332,22 @@ def test_hf_adamw_weight_decay_semantics():
     m = 0.1 * np.asarray(g); v = 0.001 * np.asarray(g) ** 2
     expected = -lr * m / (np.sqrt(v) + 1e-8) - lr * wd * np.ones(2)
     np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-5)
+
+
+def test_grad_accumulation_matches_single_step():
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=16)
+    ds = InMemoryDataset(feats, labels)
+    results = {}
+    for accum in (1, 4):
+        args = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=1,
+                         max_steps=1, grad_accum_steps=accum, seed=0,
+                         prefetch_batches=0)
+        # dropout rngs differ between the two paths; disable via deterministic
+        def det_apply(p, batch, deterministic, rng):
+            return apply_fn(p, batch, True, None)
+        tr = Trainer(det_apply, jax.device_get(params), args, ds,
+                     exp_handler=ExperimentHandler("/tmp/ga", f"a{accum}"))
+        tr.train()
+        results[accum] = jax.device_get(tr.params)
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
+        np.testing.assert_allclose(a, b, atol=3e-6)

@@ -83,6 +83,10 @@ class TrainArgs:
     resume: bool = False
     # host/device overlap: batches assembled on a background thread
     prefetch_batches: int = 2
+    # gradient accumulation: each optimizer step averages grads over this many
+    # micro-batches (train_batch_size must be divisible by it) — large
+    # effective batches within the HBM budget
+    grad_accum_steps: int = 1
 
 
 class EarlyStopping:
@@ -182,13 +186,47 @@ class Trainer:
                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
                 else x, p)
 
-        def train_step(params, opt_state, batch, labels, weight, rng):
+        def grad_fn(params, batch, labels, weight, rng):
             def loss_fn(p):
                 logits = self.apply_fn(cast_compute(p), batch,
                                        deterministic=False, rng=rng)
                 return self.calculate_loss(logits, labels, weight, train=True)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return jax.value_and_grad(loss_fn)(params)
+
+        def train_step(params, opt_state, batch, labels, weight, rng):
+            k = a.grad_accum_steps
+            if k <= 1:
+                loss, grads = grad_fn(params, batch, labels, weight, rng)
+            else:
+                # micro-batch scan: split the leading axis into k chunks and
+                # average grads (each chunk weighted by its valid-row mass so
+                # padded rows keep contributing nothing)
+                import jax.numpy as jnp
+
+                def split(x):
+                    return x.reshape(k, x.shape[0] // k, *x.shape[1:])
+
+                micro = (jax.tree.map(split, batch), split(labels),
+                         split(weight))
+
+                def body(carry, xs):
+                    acc_loss, acc_grads, acc_w = carry
+                    b, l, w, i = xs
+                    loss, grads = grad_fn(params, b, l, w,
+                                          jax.random.fold_in(rng, i))
+                    wsum = w.sum()
+                    acc_grads = jax.tree.map(
+                        lambda ag, g: ag + g * wsum, acc_grads, grads)
+                    return (acc_loss + loss * wsum, acc_grads, acc_w + wsum), None
+
+                zeros = jax.tree.map(jnp.zeros_like, params)
+                (loss_sum, grad_sum, wsum), _ = jax.lax.scan(
+                    body, (jnp.float32(0.0), zeros, jnp.float32(0.0)),
+                    (*micro, jnp.arange(k)))
+                denom = jnp.maximum(wsum, 1.0)
+                loss = loss_sum / denom
+                grads = jax.tree.map(lambda g: g / denom, grad_sum)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
