@@ -138,6 +138,10 @@ class ExperimentHandler:
             else:
                 self.set_metric(k, v)
 
+    def set_final(self, key: str, value: float):
+        """Record a run-level scalar (written once per experiment block)."""
+        self._finals[key] = _fmt(value)
+
     def set_best(self, best_metrics: Dict[str, Any]):
         """Record the early-stopping best_* scalars (train_utils.py:150-171);
         ``best_step`` selects which series index counts as final."""

@@ -311,6 +311,14 @@ class Trainer:
                     self._maybe_checkpoint(step + 1)
                 step += 1
 
+        # throughput observability (SURVEY.md §5: the pairs/sec counter the
+        # reference lacks); first step excluded (compile)
+        if len(self.step_times) > 1:
+            steady = self.step_times[1:]
+            self.exp_handler.set_final(
+                "train_pairs_per_sec",
+                a.train_batch_size * len(steady) / max(sum(steady), 1e-9))
+
         best = self.early_stopping.get_metrics()
         if best is not None:
             self.exp_handler.set_best(best)
