@@ -66,6 +66,10 @@ TASK_ARGS = {
     "Bloomberg": dict(
         root_dir=dict(required=True, type=str, help="bloomberg dataset root"),
         tasks=dict(default=["text_is_represented"], type=str, nargs="+"),
+        dev_size=dict(default=564, type=int,
+                      help="dev split size (reference default 564)"),
+        test_size=dict(default=704, type=int,
+                       help="test split size (reference default 704)"),
     ),
     "MVSA": dict(
         root_dir=dict(required=True, type=str, help="MVSA dataset root"),
@@ -175,8 +179,9 @@ def main():
         exp_name = "VaultTMSCTwitter201X"
     elif args.task == "Bloomberg":
         def mk(split):
-            ids, texts, fns, labels, _ = load_bloomberg(args.root_dir, split,
-                                                        args.tasks)
+            ids, texts, fns, labels, _ = load_bloomberg(
+                args.root_dir, split, args.tasks,
+                dev_size=args.dev_size, test_size=args.test_size)
             return VisionLanguageDataset(
                 ids, texts, fns, labels, processor,
                 name=f"bloomberg-twitter-text-image({split})",

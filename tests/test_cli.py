@@ -101,3 +101,60 @@ def test_tmsc_tomvilt_cli(tmp_path):
                 "--train_batch_size", "4", "--experiment_root", logs])
     assert res.returncode == 0, res.stderr[-3000:]
     assert os.listdir(os.path.join(logs, "TomViLTTMSC"))
+
+
+def _make_bloomberg(tmp_path, n=24):
+    d = tmp_path / "bloomberg"
+    (d / "Twitter_images").mkdir(parents=True)
+    with open(d / "bloomberg-textimage.csv", "w") as f:
+        f.write("tweet_id,tweet,other,text_is_represented\n")
+        for i in range(n):
+            f.write(f"{i},tweet number {i},x,{i % 2}\n")
+    for i in range(n):
+        Image.new("RGB", (60, 50), (i * 10 % 255, 40, 90)).save(
+            d / "Twitter_images" / f"T{i}.jpg")
+    return str(d)
+
+
+def _make_mvsa(tmp_path, n=20):
+    d = tmp_path / "MVSA_Single"
+    (d / "data").mkdir(parents=True)
+    kinds = ["positive", "neutral", "negative"]
+    with open(d / "labelResultAll.txt", "w") as f:
+        f.write("ID\ttext,image\n")
+        for i in range(1, n + 1):
+            k = kinds[i % 3]
+            f.write(f"{i}\t{k},{k}\n")
+    for i in range(1, n + 1):
+        (d / "data" / f"{i}.txt").write_text(f"tweet {i}")
+        Image.new("RGB", (50, 50), (i * 12 % 255, 70, 20)).save(
+            d / "data" / f"{i}.jpg")
+    return str(d)
+
+
+def test_bloomberg_cli(tmp_path):
+    root = _make_bloomberg(tmp_path)
+    logs = str(tmp_path / "logs")
+    res = _run([sys.executable, "experiments/clsf_vault.py", "Bloomberg",
+                "--root_dir", root, "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--eval_batch_size", "4",
+                "--dev_size", "4", "--test_size", "4",
+                "--experiment_root", logs])
+    assert res.returncode == 0, res.stderr[-3000:]
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCBloomberg"))
+    assert len(run_dirs) == 1
+
+
+def test_mvsa_cli_preprocessed_and_freeze_lm(tmp_path):
+    root = _make_mvsa(tmp_path)
+    logs = str(tmp_path / "logs")
+    res = _run([sys.executable, "experiments/clsf_vault.py", "MVSA",
+                "--root_dir", root, "--preprocessed",
+                "--bert_model_name_or_path", "bert-base-uncased",
+                "--freeze_lm", "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--eval_batch_size", "4",
+                "--experiment_root", logs])
+    assert res.returncode == 0, res.stderr[-3000:]
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCMVSA"))
+    assert len(run_dirs) == 1
+    assert "MVSA_Single(train;dev)" in run_dirs[0]
