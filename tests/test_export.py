@@ -1,0 +1,37 @@
+"""jax.export round-trip of the flagship forward (tiny geometry)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.export import export_forward, load_forward
+from vault_tpu.models.vault import init_vault, vault_apply
+
+
+def test_export_roundtrip(tmp_path):
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=4),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size, (2, 6))),
+        attention_mask=jnp.ones((2, 6), jnp.int32),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 32, 32)), jnp.float32),
+        pixel_mask=jnp.ones((2, 32, 32), jnp.int32),
+    )
+
+    def fwd(p, b):
+        return vault_apply(p, cfg, **b).pooler_output
+
+    ref = fwd(params, batch)
+
+    path = str(tmp_path / "vault_fwd.stablehlo")
+    export_forward(fwd, (params, batch), path, platforms=("cpu",))
+    assert (tmp_path / "vault_fwd.stablehlo").stat().st_size > 1000
+
+    loaded = load_forward(path)
+    out = loaded(params, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
