@@ -171,3 +171,23 @@ def test_images_and_text_multi_image():
         token_type_ids=jnp.asarray(types), pixel_values=jnp.asarray(pixels),
         pixel_mask=jnp.asarray(pmask)))
     assert logits.shape == (2, 2)
+
+
+def test_bf16_divergence_budget():
+    """Quantify the bf16-compute divergence vs fp32 (SURVEY.md §7 hard part 4:
+    keep an fp32 reference path and know the gap)."""
+    cfg = _tiny_vault_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    ids, mask, types, pixels, pmask = _inputs(cfg, batch=2)
+    batch = dict(input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+                 token_type_ids=jnp.asarray(types),
+                 pixel_values=jnp.asarray(pixels),
+                 pixel_mask=jnp.asarray(pmask))
+    ref = vault_apply(params, cfg, **batch).pooler_output
+    p16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    b16 = dict(batch, pixel_values=batch["pixel_values"].astype(jnp.bfloat16))
+    out = vault_apply(p16, cfg, **b16).pooler_output
+    diff = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert diff < 0.05, diff  # tanh-bounded pooler; typical ~1e-2

@@ -19,8 +19,15 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    """Dense layer. params = {"w": (in, out), "b": (out,) [optional]}."""
-    y = jnp.matmul(x, params["w"], preferred_element_type=jnp.float32)
+    """Dense layer. params = {"w": (in, out), "b": (out,) [optional]} or the
+    int8 weight-only form {"w_q": int8, "w_scale": (..., 1, out)} produced by
+    vault_tpu.ops.quantize (dequant fuses into the matmul's operand load)."""
+    if "w_q" in params:
+        w = (params["w_q"].astype(jnp.float32) * params["w_scale"]).astype(
+            x.dtype if x.dtype == jnp.bfloat16 else jnp.float32)
+    else:
+        w = params["w"]
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     b = params.get("b")
     if b is not None:
         y = y + b
