@@ -147,6 +147,13 @@ def main():
     else:
         vilt_cfg = vilt_config_from_name(args.vilt_model_name_or_path)
         text_cfg = text_config_from_name(bert_name) if bert_name else None
+    # the reference's --vilt_dropout_prob INTENT (its own override is a typo'd
+    # no-op, vault/models/vault/model.py:71-75): configurable ViLT layer
+    # dropout (pretrained ViLT defaults are 0.0)
+    import dataclasses
+    vilt_cfg = dataclasses.replace(
+        vilt_cfg, hidden_dropout_prob=args.vilt_dropout_prob,
+        attention_probs_dropout_prob=args.vilt_dropout_prob)
     cfg = VaultConfig(vilt=vilt_cfg, text_tower=text_cfg,
                       use_vilt_position_embeddings=args.use_vilt_position_embeddings,
                       freeze_lm=args.freeze_lm)
