@@ -10,7 +10,6 @@ Equivalence with the GSPMD path is asserted in tests.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
