@@ -27,6 +27,8 @@ GENERAL_ARGS = dict(
 
 TRAINER_ARGS = dict(
     early_stopping_patience=dict(type=int, help="early stopping patience"),
+    early_stopping_delta=dict(default=0.0, type=float,
+                              help="min improvement to reset patience"),
     model_save=dict(action="store_true", help="whether to save model"),
     model_load_filename=dict(type=str, help="local checkpoint to load"),
     lr=dict(default=2e-5, type=float, help="learning rate"),
@@ -66,6 +68,7 @@ def trainer_args_from_namespace(args, **overrides):
         warmup_ratio=args.warmup_ratio, eval_steps=args.eval_steps,
         max_steps=args.max_steps,
         early_stopping_patience=args.early_stopping_patience,
+        early_stopping_delta=args.early_stopping_delta,
         model_save=args.model_save,
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,

@@ -29,7 +29,9 @@ NODROP = os.environ.get("TRAIN_BENCH_NODROP", "0") == "1"
 if os.environ.get("TRAIN_BENCH_RBG", "0") == "1":
     import jax as _j
     _j.config.update("jax_default_prng_impl", "rbg")
-REMAT = os.environ.get("TRAIN_BENCH_REMAT", "0") == "1"
+_r = os.environ.get("TRAIN_BENCH_REMAT", "0")
+REMAT = {"0": False, "1": True}.get(_r, _r)   # "dots" = dots_saveable policy
+OPT_DTYPE = os.environ.get("TRAIN_BENCH_OPT_DTYPE")  # e.g. "bfloat16" m/v
 SEQ = 40
 CANVAS = (384, 608)
 K_LO, K_HI = 2, 8
@@ -52,7 +54,9 @@ def main():
     }
     labels = jnp.asarray(rng.integers(0, 3, BATCH), jnp.int32)
 
-    tx, _ = make_optimizer(2e-5, 1000)
+    tx, _ = make_optimizer(
+        2e-5, 1000,
+        state_dtype=jnp.dtype(OPT_DTYPE) if OPT_DTYPE else None)
     opt_state = tx.init(params)
 
     def cast_bf16(p):
@@ -103,6 +107,7 @@ def main():
         "value": round(BATCH / per_step, 2),
         "unit": "pairs/sec/chip",
         "batch": BATCH, "remat": REMAT, "nodrop": NODROP,
+        "opt_dtype": OPT_DTYPE or "float32",
         "ms_per_train_step": round(per_step * 1e3, 2),
     }))
 

@@ -188,12 +188,13 @@ def test_dp_mesh_matches_single_device():
         batch = {k: v[:16] for k, v in feats.items()}
         b, l, w = tr._pad(batch, labels[:16])
         from vault_tpu.parallel.mesh import shard_batch
-        newp, _, loss = tr._train_step(tr.params, tr.opt_state,
-                                       shard_batch(tr.mesh, b),
-                                       shard_batch(tr.mesh, l),
-                                       shard_batch(tr.mesh, w),
-                                       jax.random.PRNGKey(1))
-        results[shards] = (float(loss), jax.device_get(newp))
+        newp, _, loss_acc = tr._train_step(tr.params, tr.opt_state,
+                                           jnp.float32(0.0),
+                                           shard_batch(tr.mesh, b),
+                                           shard_batch(tr.mesh, l),
+                                           shard_batch(tr.mesh, w),
+                                           jax.random.PRNGKey(1))
+        results[shards] = (float(loss_acc) / 16, jax.device_get(newp))
     assert abs(results[1][0] - results[8][0]) < 1e-5
     flat1 = jax.tree.leaves(results[1][1])
     flat8 = jax.tree.leaves(results[8][1])
@@ -221,6 +222,71 @@ def test_early_stopping_restores_best(tmp_path):
     assert es.best == 0.5
     np.testing.assert_allclose(es.best_params["w"], np.ones(2))
     assert es.get_metrics()["best_step"] == 1
+
+
+def test_adamw_bf16_state_tracks_fp32():
+    """Reduced-precision m/v (state_dtype=bfloat16) must track the fp32
+    optimizer closely: same descent direction, small param divergence."""
+    from vault_tpu.training.optimizer import hf_adamw
+
+    params = {"w": jnp.linspace(-1, 1, 64).reshape(8, 8)}
+
+    def loss(p):
+        return jnp.sum((p["w"] @ p["w"] - jnp.eye(8)) ** 2)
+
+    trajs = {}
+    for dt in (None, jnp.bfloat16):
+        tx = hf_adamw(1e-2, state_dtype=dt)
+        p, s = params, tx.init(params)
+        for _ in range(20):
+            g = jax.grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            p = jax.tree.map(lambda a, b: a + b, p, u)
+        trajs[dt is None] = (p, s)
+    np.testing.assert_allclose(trajs[True][0]["w"], trajs[False][0]["w"],
+                               atol=5e-3)
+    assert trajs[False][1].mu["w"].dtype == jnp.bfloat16
+    assert loss(trajs[False][0]) < loss(params)
+
+
+def test_remat_modes_same_grads():
+    """remat=False / True / "dots" are pure memory/FLOP tradeoffs — the
+    gradients must be identical."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    batch = {k: jnp.asarray(v[:8]) for k, v in feats.items()}
+    y = jnp.asarray(labels[:8])
+
+    def loss_with(remat):
+        from vault_tpu.models.vault import vault_for_classification
+
+        def f(p):
+            logits = vault_for_classification(p, cfg, batch, head_dropout=0.0,
+                                              deterministic=True, remat=remat)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.take_along_axis(logp, y[:, None], axis=-1).mean()
+
+        return jax.jit(jax.grad(f))(params)
+
+    g_none = loss_with(False)
+    for mode in (True, "dots"):
+        g = loss_with(mode)
+        for a, b in zip(jax.tree.leaves(g_none), jax.tree.leaves(g)):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_early_stopping_delta():
+    """delta = minimum improvement to count as a new best (reference
+    EarlyStopping `delta`, vault/train_utils.py:13-171)."""
+    from vault_tpu.training.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=2, delta=0.05, higher_better=True)
+    assert not es.step(0.50, step=1)
+    assert not es.step(0.54, step=2)   # +0.04 < delta: patience 1, not a best
+    assert es.best == 0.50
+    assert es.step(0.54, step=3)       # patience 2 -> stop
+    # and the knob is exposed on TrainArgs (wired to the trainer's instance)
+    args = TrainArgs(early_stopping_patience=2, early_stopping_delta=0.05)
+    assert args.early_stopping_delta == 0.05
 
 
 def test_checkpoint_roundtrip(tmp_path):

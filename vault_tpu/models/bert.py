@@ -142,9 +142,8 @@ def bert_encode(params, cfg: TextTowerConfig, x, attention_mask,
         h, i = carry
         lp = inp
         layer_rng = None if rng is None else jax.random.fold_in(rng, i)
-        fn = _encoder_layer
-        if remat:
-            fn = jax.checkpoint(fn, static_argnums=(1, 4, 6))
+        from vault_tpu.ops.nn import maybe_remat
+        fn = maybe_remat(_encoder_layer, remat, static_argnums=(1, 4, 6))
         h = fn(lp, cfg, h, bias, deterministic, layer_rng, use_pallas)
         return (h, i + 1), None
 

@@ -256,9 +256,8 @@ def vilt_encode(params, cfg: ViltConfig, x, attention_mask, deterministic=True,
     def body(carry, lp):
         h, i = carry
         layer_rng = None if rng is None else jax.random.fold_in(rng, i)
-        fn = _encoder_layer
-        if remat:
-            fn = jax.checkpoint(fn, static_argnums=(1, 4, 6))
+        from vault_tpu.ops.nn import maybe_remat
+        fn = maybe_remat(_encoder_layer, remat, static_argnums=(1, 4, 6))
         h = fn(lp, cfg, h, bias, deterministic, layer_rng, use_pallas)
         return (h, i + 1), None
 

@@ -84,3 +84,21 @@ def init_embedding(rng, num: int, dim: int, stddev: float = 0.02, padding_idx: O
     if padding_idx is not None:
         w = w.at[padding_idx].set(0.0)
     return w
+
+
+def maybe_remat(fn, remat, static_argnums=()):
+    """Wrap an encoder-layer body in jax.checkpoint per the `remat` knob.
+
+    remat: False = store scan activations; True = full per-layer remat
+    (recompute everything in bwd); "dots" = remat with the dots_saveable
+    policy — matmul outputs are kept, only the cheap elementwise chains
+    (LayerNorm/GELU/softmax) recompute, trading a little activation memory
+    for skipping the matmul recompute FLOPs of full remat.
+    """
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, static_argnums=static_argnums,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if remat:
+        return jax.checkpoint(fn, static_argnums=static_argnums)
+    return fn

@@ -60,6 +60,9 @@ class TrainArgs:
     eval_steps: Optional[int] = None          # default: once per epoch
     max_steps: int = -1
     early_stopping_patience: Optional[int] = None
+    # minimum improvement to reset patience (reference EarlyStopping `delta`,
+    # vault/train_utils.py:13-171)
+    early_stopping_delta: float = 0.0
     early_stopping_metric: str = "eval_accuracy"
     higher_better: bool = True
     model_save: bool = False
@@ -151,10 +154,13 @@ class Trainer:
         self.tensor_parallel = tensor_parallel
         self.params = self._place(params)
         self.early_stopping = EarlyStopping(
-            args.early_stopping_patience, higher_better=args.higher_better)
+            args.early_stopping_patience, delta=args.early_stopping_delta,
+            higher_better=args.higher_better)
         self._train_step = None
         self._eval_step = None
-        self.step_times: List[float] = []
+        # (wall_seconds, pairs) per completed eval window — real time because
+        # each window ends in the one host fetch that drains the step chain
+        self.window_times: List[tuple] = []
 
     def _place(self, tree):
         """Param/optimizer placement: replicated, or TP-sharded over the
@@ -194,7 +200,7 @@ class Trainer:
 
             return jax.value_and_grad(loss_fn)(params)
 
-        def train_step(params, opt_state, batch, labels, weight, rng):
+        def train_step(params, opt_state, loss_acc, batch, labels, weight, rng):
             k = a.grad_accum_steps
             if k <= 1:
                 loss, grads = grad_fn(params, batch, labels, weight, rng)
@@ -229,7 +235,14 @@ class Trainer:
                 grads = jax.tree.map(lambda g: g / denom, grad_sum)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            # loss-window accumulation stays ON DEVICE: the host loop never
+            # fetches per-step (a per-step float(loss) forces a device→host
+            # sync that serializes dispatch — through this environment's
+            # tunnel it dominated the 41 ms step). `loss` is the weighted
+            # mean over valid rows, so loss * weight.sum() restores the
+            # per-window example-weighted sum the reference logs
+            # (vault/tmsc_utils/trainer.py:319-404 windowed train loss).
+            return params, opt_state, loss_acc + loss * weight.sum()
 
         def eval_step(params, batch, labels, weight):
             logits = self.apply_fn(cast_compute(params), batch,
@@ -240,7 +253,7 @@ class Trainer:
         # shardings follow argument placement: params/opt_state were placed by
         # _place (replicated or TP-sharded), batch/labels/weight arrive via
         # shard_batch over the "data" axis; GSPMD inserts the collectives.
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 
     # ----------------------------------------------------------------- loop
@@ -256,7 +269,9 @@ class Trainer:
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
-        window_loss, window_n = 0.0, 0
+        # window_acc is a DEVICE scalar threaded through the jitted step; the
+        # host fetches it once per eval window, never per step
+        window_acc, window_n, window_t0 = None, 0, time.perf_counter()
         # NOTE: resume restores params/opt_state/step; early-stopping counters
         # restart (checkpoints are written at eval-window boundaries, so the
         # loss window is always freshly initialized after fast-forward).
@@ -279,23 +294,26 @@ class Trainer:
                     early_stop = True
                     break
                 if step % eval_steps == 0:
-                    window_loss, window_n = 0.0, 0
+                    import jax.numpy as jnp
+                    window_acc, window_n = jnp.float32(0.0), 0
+                    window_t0 = time.perf_counter()
 
                 n = labels.shape[0]
                 batch, labels, weight = self._pad(batch, labels)
                 rng, step_rng = jax.random.split(rng)
-                t0 = time.perf_counter()
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state,
+                self.params, self.opt_state, window_acc = self._train_step(
+                    self.params, self.opt_state, window_acc,
                     shard_batch(self.mesh, batch),
                     shard_batch(self.mesh, labels),
                     shard_batch(self.mesh, weight), step_rng)
-                loss = float(loss)
-                self.step_times.append(time.perf_counter() - t0)
-                window_loss += loss * n
                 window_n += n
 
                 if (step + 1) % eval_steps == 0:
+                    # the single host sync of the window; forces the whole
+                    # step chain, so elapsed-time here is real wall time
+                    window_loss = float(window_acc)
+                    self.window_times.append(
+                        (time.perf_counter() - window_t0, window_n))
                     results = dict(train_loss=window_loss / max(window_n, 1))
                     if self.dev_dataset is not None:
                         results.update(self.evaluate(self.dev_dataset))
@@ -312,12 +330,13 @@ class Trainer:
                 step += 1
 
         # throughput observability (SURVEY.md §5: the pairs/sec counter the
-        # reference lacks); first step excluded (compile)
-        if len(self.step_times) > 1:
-            steady = self.step_times[1:]
+        # reference lacks); first window excluded (contains the compile)
+        if len(self.window_times) > 1:
+            steady = self.window_times[1:]
+            pairs = sum(n for _, n in steady)
             self.exp_handler.set_final(
                 "train_pairs_per_sec",
-                a.train_batch_size * len(steady) / max(sum(steady), 1e-9))
+                pairs / max(sum(t for t, _ in steady), 1e-9))
 
         best = self.early_stopping.get_metrics()
         if best is not None:
