@@ -209,6 +209,52 @@ def test_twitter_preprocessor_contractions():
     assert "are" in pre("you're nice")
 
 
+def test_hashtag_corpus_segmentation_goldens():
+    """Golden set: statistical hashtag unpacking must match the ekphrasis
+    ``# a-b-c`` outputs the reference training recipe depends on
+    (vault/utils.py:155-181 joiner + twitter_2018 segmenter)."""
+    pre = twitter_preprocessor()
+    goldens = {
+        "#mynewcar": "# my-new-car",
+        "#photooftheday": "# photo-of-the-day",
+        "#goodmorning": "# good-morning",
+        "#happybirthday": "# happy-birthday",
+        "#blacklivesmatter": "# black-lives-matter",
+        "#makeamericagreatagain": "# make-america-great-again",
+        "#followfriday": "# follow-friday",
+        "#throwbackthursday": "# throwback-thursday",
+        "#mondaymotivation": "# monday-motivation",
+        "#nofilter": "# no-filter",
+        "#worldcup": "# world-cup",
+        "#iphone7": "# iphone-7",
+        "#covid19": "# covid-19",
+        # explicit boundaries (camelCase / underscores) still split
+        "#MyNewCar": "# my-new-car",
+        "#Great_Day": "# great-day",
+        # known single words stay whole — frequency beats splitting
+        "#sunset": "# sunset",
+        "#therapist": "# therapist",   # NOT "the-rapist"
+        "#love": "# love",
+        # unknown words aren't shredded into short fragments
+        "#xqzwv": "# xqzwv",
+    }
+    for tag, want in goldens.items():
+        assert pre(tag) == want, (tag, pre(tag), want)
+
+
+def test_ekphrasis_surface_normalizations():
+    """elongated/repeated/emphasis/censored surface behavior
+    (vault/utils.py:134-141 annotate set; tags themselves are dropped by the
+    tag handler so only the normalized surface remains)."""
+    pre = twitter_preprocessor()
+    assert pre("Helloooooo world") == "helloo world"      # elongated -> 2
+    assert pre("what!!!") == "what !"                      # repeated collapsed
+    assert pre("really?!?!") == "really ?!"                # distinct marks
+    assert pre("this *really* works") == "this really works"  # emphasis
+    assert "f**k" in pre("f**k that")                      # censored intact
+    assert pre("I love it :)") == "i love it :)"           # emoticon whole
+
+
 def test_demojizer_selector():
     bertweet = demojizer_selector("vinai/bertweet-base")
     bert = demojizer_selector("bert-base-uncased")

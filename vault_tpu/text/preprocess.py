@@ -11,9 +11,16 @@ conventions:
     ``<tag>`` -> ``tag``);
   * hashtags -> ``# seg-ment-ed`` (reference rejoins ekphrasis hashtag
     segments with "-" after a "# " marker, vault/utils.py:155-181);
+    segmentation splits on explicit case/digit/underscore boundaries and
+    then statistically segments lowercase chunks with the corpus-statistics
+    model in vault_tpu/text/segmenter.py (ekphrasis ``segmenter="twitter_2018"``,
+    ``unpack_hashtags=True`` behavior, vault/utils.py:196-207);
   * annotation tags (allcaps/elongated/repeated/emphasis/censored) carry no
-    surface form — the reference *drops* them in its tag handler, so the
-    word itself (lowercased) is all that survives; we lowercase and keep it;
+    surface form — the reference *drops* them in its tag handler — but the
+    ekphrasis *surface normalizations* that precede the tags are applied:
+    elongations reduced to two chars (Helloooo -> helloo), repeated
+    punctuation collapsed to its distinct marks (!!!? -> !?), emphasis
+    asterisks stripped (*word* -> word), censored words kept whole (f**k);
   * common English contractions unpacked (ekphrasis unpack_contractions);
   * emojis -> "(name words)" via unicodedata names, matching
     ``emoji.demojize(..., delimiters=("(", ")")).replace("_", " ")``.
@@ -42,14 +49,46 @@ _CONTRACTIONS = [
     (re.compile(r"\b(\w+)'d\b", re.I), r"\1 would"),
 ]
 
-_TOKEN = re.compile(r"\w+|[^\w\s]")
+# censored words (f**k) and emoticons kept whole (ekphrasis SocialTokenizer
+# keeps :) :-( ;P etc. as single tokens); otherwise words and punctuation
+_TOKEN = re.compile(
+    r"\w+(?:\*+\w+)+"              # censored: f**k
+    r"|[:;=8xX][-o^']?[)(\]\[dDpP/\\|@*3]"   # western emoticons
+    r"|<3"                          # heart
+    r"|[!?.]+"                      # punctuation runs stay one token (?!)
+    r"|\w+|[^\w\s]")
+_ELONG = re.compile(r"(\w)\1{2,}")
+_REPEAT_PUNCT = re.compile(r"([!?.])(?:[!?.])+")
+_EMPHASIS = re.compile(r"\*(\w+)\*")
 
 
 def _segment_hashtag(body: str) -> List[str]:
-    """Split a hashtag body on case/digit boundaries and underscores
-    (lightweight stand-in for ekphrasis' corpus segmenter)."""
-    parts = re.findall(r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|\d+", body.replace("_", " "))
-    return [p.lower() for p in parts] or [body.lower()]
+    """ekphrasis-equivalent hashtag unpacking: explicit case/digit/underscore
+    boundaries first, then corpus-statistics segmentation of each lowercase
+    alphabetic chunk (#mynewcar -> my/new/car; #MyNewCar likewise;
+    #iphone7 -> iphone/7)."""
+    from vault_tpu.text.segmenter import default_segmenter
+
+    parts = re.findall(r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|\d+",
+                       body.replace("_", " "))
+    seg = default_segmenter()
+    out: List[str] = []
+    for p in parts:
+        p = p.lower()
+        out.extend(seg.segment(p) if p.isalpha() else [p])
+    return out or [body.lower()]
+
+
+def _normalize_token_surface(text: str) -> str:
+    """The surface effects of ekphrasis' annotate set (the tags themselves
+    are dropped by the reference's tag handler, vault/utils.py:149-158)."""
+    text = _EMPHASIS.sub(r"\1", text)           # *word* -> word
+    text = _ELONG.sub(r"\1\1", text)            # helloooo -> helloo
+    # !!!??? -> its distinct marks, sorted descending (ekphrasis
+    # handle_repeated_puncts keeps one of each distinct mark)
+    text = _REPEAT_PUNCT.sub(
+        lambda m: "".join(sorted(set(m.group(0)), reverse=True)), text)
+    return text
 
 
 def twitter_preprocessor(normalized_tags: Optional[List[str]] = None,
@@ -69,16 +108,20 @@ def twitter_preprocessor(normalized_tags: Optional[List[str]] = None,
         for pat, rep in _CONTRACTIONS:
             text = pat.sub(rep, text)
 
+        def plain(chunk: str):
+            return (t.lower() for t in
+                    _TOKEN.findall(_normalize_token_surface(chunk)))
+
         out: List[str] = []
         pos = 0
         for m in _HASHTAG.finditer(text):
-            out.extend(t.lower() for t in _TOKEN.findall(text[pos:m.start()]))
+            out.extend(plain(text[pos:m.start()]))
             if hashtags:
                 out.append("# " + "-".join(_segment_hashtag(m.group(1))))
             else:
                 out.append(m.group(1).lower())
             pos = m.end()
-        out.extend(t.lower() for t in _TOKEN.findall(text[pos:]))
+        out.extend(plain(text[pos:]))
         return " ".join(out).strip()
 
     process.log = f"native twitter preprocessor: {normalized_tags}, hashtags={hashtags}"
