@@ -80,6 +80,55 @@ def test_pipeline_vault_matches_monolithic():
     assert out.last_hidden_state.shape == ref.last_hidden_state.shape
 
 
+def test_pipeline_train_grads_match_single_device():
+    """The trainable 2-stage pipeline (reference PipelineVaultMixin is
+    differentiable via torch autograd across its two devices,
+    vault/models/vault/model.py:221-366): pipeline grads must equal
+    single-device grads."""
+    import jax.numpy as jnp
+
+    from vault_tpu.models.vault import (
+        classifier_head_apply,
+        init_classifier_head,
+        vault_for_classification,
+    )
+    from vault_tpu.parallel.pipeline import (
+        make_pipeline_train_fn,
+        place_pipeline_params,
+    )
+    from vault_tpu.training.losses import softmax_cross_entropy
+
+    cfg = _tiny_cfg()
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    batch = {k: jnp.asarray(v) for k, v in _batch(cfg, n=8).items()}
+    labels = jnp.asarray(np.random.default_rng(0).integers(0, 3, 8))
+    weight = jnp.ones(8, jnp.float32)
+
+    # single-device reference grads
+    def ref_loss(p):
+        logits = vault_for_classification(p, cfg, batch, head_dropout=0.0,
+                                          deterministic=True)
+        return softmax_cross_entropy(logits, labels, weight)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(params)
+
+    devs = jax.devices()
+    placed = place_pipeline_params(params, devs[0], devs[1])
+    fn = make_pipeline_train_fn(cfg, softmax_cross_entropy, params,
+                                lm_device=devs[0], vilt_device=devs[1],
+                                num_micro=2)
+    val, grads = fn(placed, batch, labels, weight, None)
+
+    assert abs(float(val) - float(ref_val)) < 1e-5
+    # stage grads land on their stage's device
+    assert jax.tree.leaves(grads["bert"])[0].devices() == {devs[0]}
+    assert jax.tree.leaves(grads["vilt"])[0].devices() == {devs[1]}
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_vqa_normalize():
     from vault_tpu.data.vqa import answer_scores, normalize_word
 

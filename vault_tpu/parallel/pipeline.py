@@ -108,3 +108,147 @@ class PipelineVault:
             jax.device_put(micro["token_type_ids"], self.vilt_device),
             jax.device_put(micro["pixel_values"], self.vilt_device),
             jax.device_put(micro["pixel_mask"], self.vilt_device))
+
+
+# ---------------------------------------------------------------------------
+# Trainable pipeline
+# ---------------------------------------------------------------------------
+
+def make_pipeline_train_fn(cfg: VaultConfig, loss_fn, params,
+                           lm_device=None, vilt_device=None,
+                           num_micro: int = 2, head_dropout: float = 0.0):
+    """Differentiable 2-stage pipeline train function — the capability the
+    reference's ``PipelineVaultMixin`` gets from torch autograd across its two
+    CUDA devices (vault/models/vault/model.py:221-366: forward crosses
+    lm_device -> vilt_device per micro-batch at :327-337, the overlap loop is
+    :340-366, and backward flows back through the same ``.to()`` transfers).
+
+    TPU-native expression: three single-device jitted programs —
+      * ``lm_fwd``  (lm_device):   LM tower forward on a micro-batch;
+      * ``stage2``  (vilt_device): ViLT + head forward AND backward, returning
+        (weighted loss, grads of vilt/head, cotangent w.r.t. the incoming
+        activation);
+      * ``lm_bwd``  (lm_device):   LM backward given that cotangent shuttled
+        back across the device boundary (flash-style: recomputes the LM
+        forward instead of shipping residuals across devices).
+    The host loop dispatches micro-batches asynchronously, so LM(i+1) overlaps
+    stage2(i) — the same 1-deep software pipeline as the reference — and each
+    stage's parameter gradients accumulate on that stage's own device.
+
+    Returns ``fn(params, batch, labels, weight, rng) -> (loss, grads)``;
+    place ``params`` with :func:`place_pipeline_params`.  (``params`` is only
+    used as a structure prototype here.)
+    """
+    del params  # structure prototype; placement is by top-level key
+    devices = jax.devices()
+    lm_device = lm_device or devices[0]
+    vilt_device = vilt_device or devices[min(1, len(devices) - 1)]
+    vilt_cfg = cfg.resolved_vilt()
+
+    from vault_tpu.models.vault import classifier_head_apply, lm_encode
+
+    def lm_fn(bert_p, mb, rng):
+        return lm_encode({"bert": bert_p}, cfg, mb["input_ids"],
+                         mb["attention_mask"], mb.get("token_type_ids"),
+                         deterministic=rng is None, rng=rng)
+
+    def stage2_fn(p2, hidden, mb, lb, wb, rng):
+        r_vilt = r_head = None
+        if rng is not None:
+            r_vilt, r_head = jax.random.split(rng)
+
+        def wloss(p2, hidden):
+            out = vilt_mod.vilt_apply(
+                p2["vilt"], vilt_cfg, attention_mask=mb["attention_mask"],
+                token_type_ids=mb.get("token_type_ids"),
+                pixel_values=mb["pixel_values"], pixel_mask=mb["pixel_mask"],
+                inputs_embeds=hidden, deterministic=rng is None, rng=r_vilt)
+            logits = classifier_head_apply(p2["head"], out.pooler_output,
+                                           head_dropout, rng is None, r_head)
+            # weighted SUM form so micro-batch contributions add exactly
+            return loss_fn(logits, lb, wb) * wb.sum()
+
+        val, (g_p2, g_hidden) = jax.value_and_grad(wloss, argnums=(0, 1))(
+            p2, hidden)
+        return val, g_p2, g_hidden
+
+    def lm_bwd_fn(bert_p, mb, ct, rng):
+        # VJP by recompute: grad of <lm_fwd(p), ct>
+        return jax.grad(lambda p: jnp.vdot(
+            lm_fn(p, mb, rng).astype(jnp.float32), ct.astype(jnp.float32)))(
+                bert_p)
+
+    lm_fwd = jax.jit(lm_fn)
+    stage2 = jax.jit(stage2_fn)
+    lm_bwd = jax.jit(lm_bwd_fn)
+
+    def fn(params, batch, labels, weight, rng=None):
+        n = labels.shape[0]
+        mbsz = n // num_micro
+        to_lm = lambda t: jax.device_put(t, lm_device)
+        to_vilt = lambda t: jax.device_put(t, vilt_device)
+        p2 = {"vilt": params["vilt"], "head": params["head"]}
+
+        def micro(i):
+            sl = slice(i * mbsz, (i + 1) * mbsz)
+            return ({k: v[sl] for k, v in batch.items()}, labels[sl],
+                    weight[sl])
+
+        if rng is not None:
+            ks = jax.random.split(rng, 2 * num_micro)
+            lm_rngs, s2_rngs = ks[:num_micro], ks[num_micro:]
+        else:
+            lm_rngs = s2_rngs = [None] * num_micro
+
+        def run_stage2(i):
+            mb, lb, wb = micro(i)
+            return stage2(p2, to_vilt(hiddens[i]), jax.tree.map(to_vilt, mb),
+                          to_vilt(lb), to_vilt(wb), s2_rngs[i])
+
+        # ---- 1-deep software pipeline: dispatch LM(i+1) before stage2(i)
+        hiddens, stage2_out = [None] * num_micro, [None] * num_micro
+        for i in range(num_micro):
+            mb, _, _ = micro(i)
+            hiddens[i] = lm_fwd(params["bert"],
+                                jax.tree.map(to_lm, mb), lm_rngs[i])
+            if i > 0:
+                stage2_out[i - 1] = run_stage2(i - 1)
+        stage2_out[num_micro - 1] = run_stage2(num_micro - 1)
+
+        # ---- backward shuttle: cotangents cross vilt -> lm per micro-batch
+        g_bert = None
+        loss_sum = jnp.float32(0.0)
+        g_p2_acc = None
+        for i in range(num_micro):
+            val, g_p2, g_hidden = stage2_out[i]
+            loss_sum = loss_sum + jax.device_put(val, vilt_device)
+            g_p2_acc = g_p2 if g_p2_acc is None else jax.tree.map(
+                jnp.add, g_p2_acc, g_p2)
+            mb, _, _ = micro(i)
+            g = lm_bwd(params["bert"], jax.tree.map(to_lm, mb),
+                       to_lm(g_hidden), lm_rngs[i])
+            g_bert = g if g_bert is None else jax.tree.map(jnp.add, g_bert, g)
+
+        wsum = jnp.maximum(weight.sum(), 1.0)
+        scale_lm = to_lm(1.0 / wsum)
+        scale_vilt = to_vilt(1.0 / wsum)
+        grads = {"bert": jax.tree.map(lambda g: g * scale_lm, g_bert),
+                 "vilt": jax.tree.map(lambda g: g * scale_vilt,
+                                      g_p2_acc["vilt"]),
+                 "head": jax.tree.map(lambda g: g * scale_vilt,
+                                      g_p2_acc["head"])}
+        return loss_sum / to_vilt(wsum), grads
+
+    return fn
+
+
+def place_pipeline_params(params, lm_device=None, vilt_device=None):
+    """Stage placement: LM tower on lm_device; ViLT + heads on vilt_device
+    (the reference's from_pretrained placement, model.py:259-284)."""
+    devices = jax.devices()
+    lm_device = lm_device or devices[0]
+    vilt_device = vilt_device or devices[min(1, len(devices) - 1)]
+    placed = {}
+    for k, v in params.items():
+        placed[k] = jax.device_put(v, lm_device if k == "bert" else vilt_device)
+    return placed
