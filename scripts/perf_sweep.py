@@ -73,8 +73,12 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
-    for use_pallas in (False, True):
-        for bs in (16, 32, 64):
+    impls = os.environ.get("PERF_SWEEP_IMPLS", "0,1").split(",")
+    batches = [int(b) for b in
+               os.environ.get("PERF_SWEEP_BATCHES", "16,32,64").split(",")]
+    table = {"0": False, "1": True}
+    for use_pallas in (table.get(i, i) for i in impls):
+        for bs in batches:
             try:
                 pps, step = measure(cfg, params, bs, use_pallas)
                 print(json.dumps({"batch": bs, "pallas": use_pallas,

@@ -117,3 +117,63 @@ def test_model_grad_with_pallas_matches_xla():
     g_p = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+@pytest.mark.parametrize("b,h,l,d", [(2, 4, 32, 16), (1, 12, 256, 64)])
+def test_fused_dotbatch_matches_xla(b, h, l, d):
+    from vault_tpu.ops.pallas_attention import fused_attention_dotbatch
+
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, l // 2:] = 0
+    bias = extend_attention_mask(jnp.asarray(mask))
+    ref = attend_xla(q, k, v, bias)
+    out = fused_attention_dotbatch(q, k, v, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_parse_attn_impl_and_fused_qkv():
+    from vault_tpu.ops.attention import parse_attn_impl, project_qkv
+
+    assert parse_attn_impl(False) == (False, False)
+    assert parse_attn_impl(True) == (False, True)
+    assert parse_attn_impl("dotbatch") == (False, "dotbatch")
+    assert parse_attn_impl("fuseqkv+dotbatch") == (True, "dotbatch")
+    assert parse_attn_impl("fuseqkv") == (True, False)
+
+    rng = np.random.default_rng(5)
+    h = 24
+    lp = {
+        name: {"w": jnp.asarray(rng.normal(size=(h, h)), jnp.float32),
+               "b": jnp.asarray(rng.normal(size=(h,)), jnp.float32)}
+        for name in ("q", "k", "v")
+    }
+    x = jnp.asarray(rng.normal(size=(2, 7, h)), jnp.float32)
+    plain = project_qkv(lp, x, 4, fuse=False)
+    fused = project_qkv(lp, x, 4, fuse=True)
+    for a, b in zip(plain, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_model_with_impl_variants():
+    # the full impl-selector surface: every variant matches the XLA path
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config()
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int64),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 64, 64)),
+                                 jnp.float32),
+        pixel_mask=jnp.ones((2, 64, 64), jnp.int64))
+    ref = vilt_apply(params, cfg, **batch, use_pallas=False)
+    for impl in ("fuseqkv", "dotbatch", "grid", "fuseqkv+dotbatch"):
+        out = vilt_apply(params, cfg, **batch, use_pallas=impl)
+        np.testing.assert_allclose(np.asarray(out.pooler_output),
+                                   np.asarray(ref.pooler_output), atol=1e-5,
+                                   err_msg=impl)

@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 
 from vault_tpu.config import TextTowerConfig
-from vault_tpu.ops.attention import attend, merge_heads, split_heads
+from vault_tpu.ops.attention import (
+    attend,
+    merge_heads,
+    parse_attn_impl,
+    project_qkv,
+    split_heads,
+)
 from vault_tpu.ops.masks import extend_attention_mask
 from vault_tpu.ops.nn import (
     act_fn,
@@ -113,9 +119,8 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
         r_attn, r_attn_out, r_mlp = jax.random.split(rng, 3)
     else:
         r_attn = r_attn_out = r_mlp = None
-    q = split_heads(linear(lp["q"], x), cfg.num_attention_heads)
-    k = split_heads(linear(lp["k"], x), cfg.num_attention_heads)
-    v = split_heads(linear(lp["v"], x), cfg.num_attention_heads)
+    fuse_qkv, _ = parse_attn_impl(use_pallas)
+    q, k, v = project_qkv(lp, x, cfg.num_attention_heads, fuse_qkv)
     ctx = merge_heads(attend(q, k, v, bias, r_attn,
                              cfg.attention_probs_dropout_prob, deterministic,
                              use_pallas=use_pallas))

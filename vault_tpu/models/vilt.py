@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from vault_tpu.config import ViltConfig
-from vault_tpu.ops.attention import attend, merge_heads, split_heads
+from vault_tpu.ops.attention import (
+    attend,
+    merge_heads,
+    parse_attn_impl,
+    project_qkv,
+    split_heads,
+)
 from vault_tpu.ops.interpolate import downsample_mask_nearest, interpolate_pos_grid
 from vault_tpu.ops.masks import extend_attention_mask
 from vault_tpu.ops.nn import (
@@ -232,9 +238,8 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
     else:
         r_attn = r_attn_out = r_mlp = None
     y = layer_norm(lp["ln_before"], x, cfg.layer_norm_eps)
-    q = split_heads(linear(lp["q"], y), cfg.num_attention_heads)
-    k = split_heads(linear(lp["k"], y), cfg.num_attention_heads)
-    v = split_heads(linear(lp["v"], y), cfg.num_attention_heads)
+    fuse_qkv, _ = parse_attn_impl(use_pallas)
+    q, k, v = project_qkv(lp, y, cfg.num_attention_heads, fuse_qkv)
     ctx = merge_heads(attend(q, k, v, bias, r_attn,
                              cfg.attention_probs_dropout_prob, deterministic,
                              use_pallas=use_pallas))

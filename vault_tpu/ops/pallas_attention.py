@@ -104,6 +104,62 @@ def fused_attention_batched(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
+def _attn_kernel_dotbatch(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    """One program per BATCH row; all heads in ONE batched dot_general.
+
+    Rationale (measured, docs/BENCHMARKS.md): the (B, H) grid (192 programs)
+    and the in-kernel fori_loop over heads (16 programs x 12 sequential small
+    dots) both lose to XLA — per-program/per-iteration overhead dominates
+    when each head's matmul is only (256,64)x(64,256).  A single batched dot
+    lets Mosaic stream all 12 heads' tiles through the MXU back-to-back."""
+    q = q_ref[0]               # (H, L, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    d = q.shape[-1]
+    # scores: batch over heads, contract D -> (H, L, L) fp32
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / (d ** 0.5))
+    scores = scores + bias_ref[0, 0].astype(jnp.float32)   # (1, L) broadcast
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention_dotbatch(q: jax.Array, k: jax.Array, v: jax.Array,
+                             bias: jax.Array | None,
+                             interpret: bool | None = None) -> jax.Array:
+    """grid (B,) with heads as a dot_general batch dim; bias (B,1,1,L)."""
+    b, h, l, d = q.shape
+    if bias is None:
+        bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, 1, l), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attn_kernel_dotbatch,
+        grid=(b,),
+        in_specs=[spec, spec, spec, bias_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=4 * b * h * l * d * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+    )(q, k, v, bias)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: jax.Array | None, interpret: bool | None = None) -> jax.Array:
