@@ -417,3 +417,58 @@ def test_grad_accumulation_matches_single_step():
         results[accum] = jax.device_get(tr.params)
     for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
         np.testing.assert_allclose(a, b, atol=3e-6)
+
+
+def test_load_reference_obj_pkl(tmp_path):
+    """load_existent must read a reference-written obj.pkl — the reference
+    pickles its ENTIRE handler instance (vault/logging_utils.py:481-483)
+    whose class doesn't exist here."""
+    import pickle
+    import sys
+    import types
+
+    # fabricate "the reference's" module + class, pickle an instance
+    mod = types.ModuleType("vault.logging_utils")
+
+    class RefHandler:
+        pass
+
+    RefHandler.__module__ = "vault.logging_utils"
+    RefHandler.__qualname__ = "ExperimentHandler"
+    mod.ExperimentHandler = RefHandler
+    sys.modules["vault"] = types.ModuleType("vault")
+    sys.modules["vault.logging_utils"] = mod
+    try:
+        ref = RefHandler()
+        ref.__dict__.update(
+            _directory="./experiment_logs",
+            _experiment_name="MVSA",
+            _description="",
+            _param_dict={"model_name": "vault", "lr": 2e-5},
+            _disabled_params={"root_dir"},
+            _name_params=["model_name"],
+            _metric_dict={"eval_accuracy": [0.5, 0.7, 0.66]},
+            _best_metric_dict={"best_eval_accuracy": 0.7},
+            _test_metric_dict={"accuracy": 0.68},
+            _parent_param_dict={},
+        )
+        d = tmp_path / "MVSA" / "vault_0"
+        d.mkdir(parents=True)
+        with open(d / "obj.pkl", "wb") as f:
+            pickle.dump(ref, f)
+    finally:
+        del sys.modules["vault.logging_utils"], sys.modules["vault"]
+
+    from vault_tpu.training.experiment import ExperimentHandler
+
+    h = ExperimentHandler.load_existent(str(d))
+    assert h._params["model_name"] == "vault"
+    assert h._name_params == ["model_name"]
+    assert "root_dir" in h._disabled
+    assert h._series["eval_accuracy"] == [0.5, 0.7, 0.66]
+    assert h._finals["best_eval_accuracy"] == 0.7
+    assert h._finals["test_accuracy"] == 0.68
+    # our own snapshot still round-trips through the same entry point
+    h.log()
+    h2 = ExperimentHandler.load_existent(str(d))
+    assert h2._series == h._series and h2._finals == h._finals

@@ -28,6 +28,27 @@ import numpy as np
 import yaml
 
 
+class _ForeignHandlerState:
+    """Stand-in for an unimportable pickled handler class: absorbs the
+    instance ``__dict__`` (the reference handler's entire state,
+    vault/logging_utils.py:78-83)."""
+
+    def __setstate__(self, d):
+        self.__dict__ = d
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Unpickler that substitutes :class:`_ForeignHandlerState` for any
+    class it cannot import (e.g. the reference's
+    ``vault.logging_utils.ExperimentHandler``)."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _ForeignHandlerState
+
+
 def sanitize(value: Any) -> str:
     return str(value).replace("/", "√").replace(",", ";").replace("=", "≈")
 
@@ -179,15 +200,43 @@ class ExperimentHandler:
 
     @classmethod
     def load_existent(cls, directory: str) -> "ExperimentHandler":
+        """Load a handler snapshot from ``<directory>/obj.pkl``.
+
+        Reads both this framework's dict snapshot and a *reference-written*
+        ``obj.pkl``: the reference pickles its entire handler instance
+        (vault/logging_utils.py:481-483, ``pickle.dump(self, fp)`` with
+        ``__getstate__ = self.__dict__``), whose class can't be imported
+        here — a stub class absorbs the instance ``__dict__`` and the
+        reference attribute names (_param_dict/_metric_dict/...,
+        vault/logging_utils.py:53-62) are mapped onto ours."""
         with open(os.path.join(directory, "obj.pkl"), "rb") as f:
-            state = pickle.load(f)
+            state = _TolerantUnpickler(f).load()
         h = cls(os.path.dirname(os.path.dirname(directory)),
                 os.path.basename(os.path.dirname(directory)))
-        h._params = state["params"]
-        h._name_params = state["name_params"]
-        h._disabled = set(state["disabled"])
-        h._series = state["series"]
-        h._finals = state["finals"]
+        if isinstance(state, _ForeignHandlerState):  # reference format
+            d = state.__dict__
+            h._params = dict(d.get("_param_dict", {}))
+            h._name_params = list(d.get("_name_params", []))
+            h._disabled = set(d.get("_disabled_params", ()))
+            h._parents = dict(d.get("_parent_param_dict", {}))
+            h._series = {k: list(v) for k, v in
+                         d.get("_metric_dict", {}).items()}
+            finals: Dict[str, float] = {}
+            finals.update(d.get("_best_metric_dict", {}))
+            # reference stores test metrics unprefixed in their own dict and
+            # writes them into the experiment block as-is (logging_utils.py
+            # :465-470); our single finals dict uses the test_ prefix
+            for k, v in d.get("_test_metric_dict", {}).items():
+                finals[k if k.startswith("test_") else f"test_{k}"] = v
+            h._finals = {k: _fmt(v) for k, v in finals.items()
+                         if isinstance(v, (int, float, np.floating,
+                                           np.integer))}
+        else:
+            h._params = state["params"]
+            h._name_params = state["name_params"]
+            h._disabled = set(state["disabled"])
+            h._series = state["series"]
+            h._finals = state["finals"]
         h._dir = directory
         return h
 
