@@ -7,8 +7,23 @@
 #            -m <mvsa_root> -r <reps>
 # Model checkpoints are local HF dirs via $BERT_DIR/$BERTWEET_DIR/$VILT_DIR
 # (random-init geometry is used when unset — useful for smoke runs).
+#
+# Smoke knobs (defaults preserve the reference recipe exactly):
+#   EXTRA_FLAGS  extra args appended to every driver call (argparse keeps
+#                the last occurrence, so these override the recipe values)
+#   VARIANTS     space-separated subset of "none bert bertweet" to restrict
+#                which LM variants run (default: all three)
 
 set -e
+
+VARIANTS=${VARIANTS:-"none bert bertweet"}
+variant_flag () {
+  case $1 in
+    none) echo "" ;;
+    bert) echo "--bert_model_name_or_path $BERT" ;;
+    bertweet) echo "--bert_model_name_or_path $BERTWEET" ;;
+  esac
+}
 
 REPS=5
 while getopts "t:b:m:r:" opt; do
@@ -30,34 +45,35 @@ run_tmsc () {  # $1=dataset dir under twitter root, $2=bert flag(s), $3=epochs
     --dir "$TWITTER/$1" --train_split train --dev_split dev --test_split test \
     --vilt_model_name_or_path "$VILT" $2 \
     --num_train_epochs "$3" --early_stopping_patience 5 \
-    --reps "$REPS"
+    --reps "$REPS" $EXTRA_FLAGS
 }
 
 if [ -n "$TWITTER" ]; then
   for ds in twitter2015 twitter; do
-    run_tmsc "$ds" "" 15
-    run_tmsc "$ds" "--bert_model_name_or_path $BERT" 25
-    run_tmsc "$ds" "--bert_model_name_or_path $BERTWEET" 25
+    for v in $VARIANTS; do
+      [ "$v" = none ] && epochs=15 || epochs=25
+      run_tmsc "$ds" "$(variant_flag $v)" "$epochs"
+    done
   done
 fi
 
 if [ -n "$BLOOMBERG" ]; then
-  for bert in "" "--bert_model_name_or_path $BERT" "--bert_model_name_or_path $BERTWEET"; do
+  for v in $VARIANTS; do
     python experiments/clsf_vault.py Bloomberg \
-      --root_dir "$BLOOMBERG" $bert \
+      --root_dir "$BLOOMBERG" $(variant_flag $v) \
       --train_batch_size 16 --num_train_epochs 8 --early_stopping_patience 5 \
-      --reps "$REPS"
+      --reps "$REPS" $EXTRA_FLAGS
   done
 fi
 
 if [ -n "$MVSA" ]; then
   for root in "$MVSA/MVSA_Single" "$MVSA/MVSA"; do
     [ -d "$root" ] || continue
-    for bert in "" "--bert_model_name_or_path $BERT" "--bert_model_name_or_path $BERTWEET"; do
+    for v in $VARIANTS; do
       python experiments/clsf_vault.py MVSA \
-        --root_dir "$root" --preprocessed $bert \
+        --root_dir "$root" --preprocessed $(variant_flag $v) \
         --num_train_epochs 9 --early_stopping_patience 5 \
-        --reps "$REPS"
+        --reps "$REPS" $EXTRA_FLAGS
     done
   done
 fi

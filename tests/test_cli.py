@@ -158,3 +158,42 @@ def test_mvsa_cli_preprocessed_and_freeze_lm(tmp_path):
     run_dirs = os.listdir(os.path.join(logs, "VaultTMSCMVSA"))
     assert len(run_dirs) == 1
     assert "MVSA_Single(train;dev)" in run_dirs[0]
+
+
+def test_full_recipe_rehearsal_mvsa(tmp_path):
+    """Full-recipe rehearsal: scripts/test-results.sh's MVSA leg (2 reps,
+    tiny geometry via EXTRA_FLAGS, bert variant only via VARIANTS) must
+    produce the reference README's experiment-log layout end-to-end
+    (README.md:162-219): metrics.yml experiment_{0,1} blocks,
+    aggregated_metrics.yml mean+-std, params.yml, obj.pkl, plots/*.png."""
+    parent = tmp_path / "mvsa_root"
+    parent.mkdir()
+    _make_mvsa(parent)
+    logs = str(tmp_path / "logs")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["VARIANTS"] = "bert"
+    env["EXTRA_FLAGS"] = (
+        "--debug_tiny --num_train_epochs 1 --early_stopping_patience 0 "
+        f"--train_batch_size 4 --eval_batch_size 4 --experiment_root {logs}")
+    res = subprocess.run(
+        ["bash", "scripts/test-results.sh", "-m", str(parent), "-r", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCMVSA"))
+    assert len(run_dirs) == 1
+    d = os.path.join(logs, "VaultTMSCMVSA", run_dirs[0])
+    for fname in ("metrics.yml", "aggregated_metrics.yml", "params.yml",
+                  "obj.pkl"):
+        assert os.path.exists(os.path.join(d, fname)), fname
+    with open(os.path.join(d, "metrics.yml")) as f:
+        metrics = yaml.safe_load(f)
+    assert "experiment_0" in metrics and "experiment_1" in metrics
+    with open(os.path.join(d, "aggregated_metrics.yml")) as f:
+        agg = yaml.safe_load(f)
+    assert any("+-" in str(v) for v in agg[""].values())
+    plots = os.listdir(os.path.join(d, "plots"))
+    assert any(p.endswith(".png") for p in plots)
