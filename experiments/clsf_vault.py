@@ -53,6 +53,14 @@ VAULT_MODEL_ARGS = dict(
                            "description]); adds entity tokens to the "
                            "tokenizer and max-pool-initializes their "
                            "embeddings (Twitter201X only)"),
+    wiki_store=dict(type=str,
+                    help="local alias-dictionary + description store for "
+                         "offline entity linking; builds --entity_cache "
+                         "from the dataset's targets when the cache file "
+                         "is missing (Twitter201X only)"),
+    entity_threshold=dict(default=0.0, type=float,
+                          help="linker confidence threshold (reference "
+                               "EntityLinker threshold)"),
 )
 
 TASK_ARGS = {
@@ -244,9 +252,30 @@ def main():
         if args.task == "Twitter201X" and args.entity_cache and \
                 hasattr(tokenizer, "add_tokens"):
             from vault_tpu.text.entity_linking import (
+                EntityLinker,
+                OfflineEntityLinker,
+                build_entity_cache,
                 integrate_entities_into_embeddings,
                 load_entity_cache,
             )
+
+            # link-then-cache when the cache file is missing (reference
+            # dataset flow, vault/tmsc_utils/dataset.py:185-283): the
+            # offline alias-store backend, or REL when importable
+            if not os.path.exists(args.entity_cache):
+                linker = None
+                if args.wiki_store:
+                    linker = OfflineEntityLinker(args.wiki_store,
+                                                 args.entity_threshold)
+                else:
+                    rel = EntityLinker(".", threshold=args.entity_threshold)
+                    linker = rel if rel.available else None
+                if linker is not None:
+                    targets = [e.target for e in train_ds.examples]
+                    for ds in (dev_ds, test_ds):
+                        if ds is not None:
+                            targets.extend(e.target for e in ds.examples)
+                    build_entity_cache(args.entity_cache, targets, linker)
 
             cache = load_entity_cache(args.entity_cache) or {}
             entities = [(e, d) for e, d in cache.values() if e and d]

@@ -197,3 +197,34 @@ def test_full_recipe_rehearsal_mvsa(tmp_path):
     assert any("+-" in str(v) for v in agg[""].values())
     plots = os.listdir(os.path.join(d, "plots"))
     assert any(p.endswith(".png") for p in plots)
+
+
+def test_clsf_vault_offline_entity_linking_e2e(tmp_path):
+    """Offline entity-linking e2e (vault/entity_linking.py:93-148 contract
+    without egress): synthetic wiki store -> CLI builds the JSON cache from
+    the dataset's targets -> entity tokens join the tokenizer with max-pool
+    embeddings -> the training step runs."""
+    import json
+
+    data_dir = _make_twitter(tmp_path)
+    logs = str(tmp_path / "logs")
+    store = tmp_path / "wiki_store.json"
+    store.write_text(json.dumps({
+        "aliases": {"target 0": [["Target_Zero", 0.9]],
+                    "target 1": [["Target_One", 0.05]]},
+        "descriptions": {"Target_Zero": "a tweet about stuff",
+                         "Target_One": "another thing"},
+    }))
+    cache = tmp_path / "entities.json"  # does NOT exist yet
+    res = _run([sys.executable, "experiments/clsf_vault.py", "Twitter201X",
+                "--dir", data_dir, "--train_split", "train",
+                "--bert_model_name_or_path", "bert-base-uncased",
+                "--debug_tiny", "--num_train_epochs", "1",
+                "--train_batch_size", "4", "--experiment_root", logs,
+                "--entity_cache", str(cache), "--wiki_store", str(store),
+                "--entity_threshold", "0.1"])
+    assert res.returncode == 0, res.stderr[-3000:]
+    built = json.loads(cache.read_text())
+    assert built["target 0"] == ["Target_Zero", "a tweet about stuff"]
+    assert built["target 1"] == ["Target_One", None]  # below threshold
+    assert built["target 2"] == [None, None]          # not in store

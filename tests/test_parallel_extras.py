@@ -248,3 +248,56 @@ def test_shard_map_step_matches_gspmd():
     for a, b in zip(jax.tree.leaves(jax.device_get(p_ref)),
                     jax.tree.leaves(jax.device_get(p_out))):
         np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_offline_entity_linker(tmp_path):
+    """OfflineEntityLinker: alias lookup, best-score disambiguation, the
+    reference's confidence gate (entity kept, description withheld below
+    threshold, vault/entity_linking.py:88-92), and the disambiguation-page
+    retry that follows the first suggestion (:101-108)."""
+    import json
+
+    from vault_tpu.text.entity_linking import (
+        OfflineEntityLinker,
+        build_entity_cache,
+        load_entity_cache,
+    )
+
+    store = tmp_path / "wiki_store.json"
+    store.write_text(json.dumps({
+        "aliases": {
+            "obama": [["Barack_Obama", 0.9], ["Obama_(surname)", 0.2]],
+            "apple": [["Apple_Inc.", 0.6]],
+            "mercury": [["Mercury", 0.8]],
+            "lowconf": [["Some_Entity", 0.05]],
+        },
+        "descriptions": {
+            "Barack_Obama": "Barack Obama is an American politician.",
+            "Apple_Inc.": "Apple Inc. is a technology company.",
+            "Mercury_(planet)": "Mercury is the smallest planet.",
+        },
+        "disambiguations": {"Mercury": ["Mercury_(planet)",
+                                        "Mercury_(element)"]},
+    }))
+    linker = OfflineEntityLinker(str(store), threshold=0.1)
+    out = linker.link(["Obama", "apple", "Mercury", "lowconf", "nothing"])
+    assert out["Obama"] == ("Barack_Obama",
+                            "Barack Obama is an American politician.")
+    assert out["apple"][0] == "Apple_Inc."
+    # disambiguation chain: description comes from the first suggestion's
+    # page but the ORIGINAL entity name is returned (the reference's
+    # __call__ returns res[3] untouched while get_entity_description
+    # resolves locally, vault/entity_linking.py:86-112)
+    assert out["Mercury"] == ("Mercury", "Mercury is the smallest planet.")
+    # below threshold: entity kept, description withheld
+    assert out["lowconf"] == ("Some_Entity", None)
+    assert out["nothing"] == (None, None)
+
+    cache_path = str(tmp_path / "cache.json")
+    build_entity_cache(cache_path, ["Obama", "nothing"], linker)
+    cache = load_entity_cache(cache_path)
+    assert cache["Obama"][0] == "Barack_Obama"
+    # incremental: second build only links unseen targets and extends
+    build_entity_cache(cache_path, ["apple"], linker)
+    cache = load_entity_cache(cache_path)
+    assert set(cache) == {"Obama", "nothing", "apple"}

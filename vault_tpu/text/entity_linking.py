@@ -125,6 +125,78 @@ class EntityLinker:
             return None
 
 
+class OfflineEntityLinker:
+    """REL-shaped linker over a LOCAL alias-dictionary + description store —
+    the no-egress backend closing the reference's online loop
+    (vault/entity_linking.py:49-112: mention detection -> disambiguation ->
+    threshold -> Wikipedia first paragraph with a DisambiguationError retry
+    that follows the page's first suggestion).
+
+    Store file (JSON)::
+
+        {"aliases": {"<alias lowercase>": [["Entity_Name", score], ...]},
+         "descriptions": {"Entity_Name": "first paragraph ..."},
+         "disambiguations": {"Ambiguous_Entity": ["Concrete_Entity", ...]}}
+
+    Mention detection is alias lookup on the normalized target; the
+    best-scoring candidate is the disambiguation; candidates below
+    ``threshold`` return ``(entity, None)`` exactly like the reference's
+    confidence gate (entity kept, description withheld,
+    vault/entity_linking.py:88-92); disambiguation-page entities follow
+    their first suggestion, mirroring the ``str(e).split("\\n")[1]`` retry.
+    """
+
+    def __init__(self, store_path: str, threshold: float = 0.0):
+        with open(store_path) as f:
+            store = json.load(f)
+        self.aliases: Dict[str, List] = store.get("aliases", {})
+        self.descriptions: Dict[str, str] = store.get("descriptions", {})
+        self.disambiguations: Dict[str, List[str]] = store.get(
+            "disambiguations", {})
+        self.threshold = threshold
+
+    @staticmethod
+    def _normalize(target: str) -> str:
+        return " ".join(target.lower().split())
+
+    def _describe(self, entity: str) -> Optional[str]:
+        seen = set()
+        while entity in self.disambiguations and entity not in seen:
+            seen.add(entity)
+            options = self.disambiguations[entity]
+            if not options:
+                return None
+            entity = options[0]
+        return self.descriptions.get(entity)
+
+    def link(self, targets: Sequence[str]) -> Dict[str, Tuple[Optional[str], Optional[str]]]:
+        out: Dict[str, Tuple[Optional[str], Optional[str]]] = {}
+        for t in targets:
+            cands = self.aliases.get(self._normalize(t), [])
+            if not cands:
+                out[t] = (None, None)
+                continue
+            entity, score = max(cands, key=lambda c: c[1])
+            if score < self.threshold:
+                out[t] = (entity, None)
+            else:
+                out[t] = (entity, self._describe(entity))
+        return out
+
+
+def build_entity_cache(cache_path: str, targets: Sequence[str],
+                       linker) -> Dict[str, Tuple[Optional[str], Optional[str]]]:
+    """Run ``linker`` over unseen targets and persist the JSON cache — the
+    reference dataset's link-then-cache flow (vault/tmsc_utils/dataset.py:
+    185-283) keyed by target string."""
+    cache = load_entity_cache(cache_path) or {}
+    todo = [t for t in dict.fromkeys(targets) if t not in cache]
+    if todo:
+        cache.update(linker.link(todo))
+        save_entity_cache(cache_path, cache)
+    return cache
+
+
 def integrate_entities_into_embeddings(word_embeddings: jnp.ndarray,
                                        descriptions: List[str],
                                        tokenizer) -> jnp.ndarray:
