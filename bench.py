@@ -13,7 +13,14 @@ the K_hi-vs-K_lo slope: (t_hi - t_lo) / (K_hi - K_lo) per step — pure
 device-side throughput, transfers and RTT cancelled.
 
 Both sides run the same geometry: bert-base-uncased tower (12L) + vilt-b32
-co-encoder (12L), batch of image-text pairs at the max ViltProcessor canvas.
+co-encoder (12L), batch of image-text pairs at the DEFAULT serving canvas
+(608x608, vault_tpu/data/image.py DEFAULT_CANVAS) with a realistic pixel
+mask: a landscape photo's 384x608 valid region — exactly what VaultProcessor
+emits for a typical 480x640 tweet image padded onto the default canvas.  The
+model's valid-first patch gather keeps the encoder sequence at the static
+patch budget regardless of canvas, so vs the previous 384x608 bench geometry
+only the (cheap) patch conv grows; benching the default path keeps the
+number honest (docs/BENCHMARKS.md "bench geometry" note).
 """
 
 import json
@@ -29,10 +36,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 BATCH = 16
 SEQ = 40
-CANVAS = (384, 608)
+CANVAS = (608, 608)       # DEFAULT_CANVAS serving geometry
+VALID = (384, 608)        # landscape photo's valid region on that canvas
 K_LO, K_HI = 2, 22
 TORCH_ITERS = 3
 TORCH_BATCH = 4
+
+
+def _pixel_mask(np_mod, batch, dtype=None):
+    m = np_mod.zeros((batch, *CANVAS), dtype or np_mod.int32)
+    m[:, :VALID[0], :VALID[1]] = 1
+    return m
 
 
 def bench_tpu():
@@ -57,7 +71,7 @@ def bench_tpu():
         "token_type_ids": jnp.zeros((BATCH, SEQ), jnp.int32),
         "pixel_values": jnp.asarray(rng.normal(size=(BATCH, 3, *CANVAS)),
                                     jnp.bfloat16),
-        "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
+        "pixel_mask": jnp.asarray(_pixel_mask(np, BATCH)),
     }
 
     def chained(params, batch, k):
@@ -108,7 +122,7 @@ def bench_torch_baseline():
     mask = torch.ones(TORCH_BATCH, SEQ, dtype=torch.long)
     types = torch.zeros(TORCH_BATCH, SEQ, dtype=torch.long)
     pixels = torch.tensor(rng.normal(size=(TORCH_BATCH, 3, *CANVAS)).astype(np.float32))
-    pmask = torch.ones(TORCH_BATCH, *CANVAS, dtype=torch.long)
+    pmask = torch.tensor(_pixel_mask(np, TORCH_BATCH, np.int64))
 
     def fwd():
         with torch.no_grad():
