@@ -51,6 +51,10 @@ TRAINER_ARGS = dict(
     compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
                        type=str, help="activation/matmul dtype (fp32 master "
                        "weights either way)"),
+    opt_state_dtype=dict(default=None, choices=["float32", "bfloat16"],
+                         type=str, help="AdamW m/v storage dtype (bfloat16 "
+                         "cuts optimizer HBM traffic ~1.7 ms/step at full "
+                         "geometry; default fp32)"),
     seed=dict(default=0, type=int, help="base random seed"),
 )
 
@@ -73,6 +77,7 @@ def trainer_args_from_namespace(args, **overrides):
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
         remat=not args.no_remat, compute_dtype=args.compute_dtype,
+        opt_state_dtype=args.opt_state_dtype,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
     )
     kw.update(overrides)

@@ -177,3 +177,71 @@ def test_model_with_impl_variants():
         np.testing.assert_allclose(np.asarray(out.pooler_output),
                                    np.asarray(ref.pooler_output), atol=1e-5,
                                    err_msg=impl)
+
+
+def test_fused_mlp_block_matches_xla():
+    """fused LN->MLP->residual kernel parity vs the ops/nn composition,
+    including a rows % row_tile != 0 shape (single-tile path)."""
+    from vault_tpu.ops.pallas_mlp import _mlp_block_xla, fused_mlp_block_fwd
+
+    rng = np.random.default_rng(7)
+    for rows, h, inner in ((512, 128, 512), (20, 128, 256)):
+        x = jnp.asarray(rng.normal(size=(2, rows // 2, h)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(h,)) * 0.1 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(inner,)) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.float32)
+        ref = _mlp_block_xla({"scale": gamma, "bias": beta},
+                             {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                             x, 1e-12, "gelu")
+        out = fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
+                                  interpret=True, row_tile=256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_fused_mlp_grad_matches_xla():
+    from vault_tpu.ops.pallas_mlp import _mlp_block_xla, fused_mlp_block
+
+    rng = np.random.default_rng(8)
+    h, inner = 128, 256
+    x = jnp.asarray(rng.normal(size=(1, 16, h)), jnp.float32)
+    ln_p = {"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))}
+    p_in = {"w": jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32),
+            "b": jnp.zeros((inner,), jnp.float32)}
+    p_out = {"w": jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32),
+             "b": jnp.zeros((h,), jnp.float32)}
+
+    def loss(fn):
+        def f(ln_p, p_in, p_out, x):
+            return jnp.sum(fn(ln_p, p_in, p_out, x, 1e-12, "gelu") ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(ln_p, p_in, p_out, x)
+
+    g_ref = loss(_mlp_block_xla)
+    g_pal = loss(fused_mlp_block)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_model_with_fusemlp_impl():
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config()
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(9)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int64),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 64, 64)),
+                                 jnp.float32),
+        pixel_mask=jnp.ones((2, 64, 64), jnp.int64))
+    ref = vilt_apply(params, cfg, **batch, use_pallas=False)
+    out = vilt_apply(params, cfg, **batch, use_pallas="fusemlp")
+    np.testing.assert_allclose(np.asarray(out.pooler_output),
+                               np.asarray(ref.pooler_output), atol=1e-5)
+    both = vilt_apply(params, cfg, **batch, use_pallas="fuseqkv+fusemlp+dotbatch")
+    np.testing.assert_allclose(np.asarray(both.pooler_output),
+                               np.asarray(ref.pooler_output), atol=1e-5)

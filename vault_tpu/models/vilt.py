@@ -31,7 +31,7 @@ from vault_tpu.config import ViltConfig
 from vault_tpu.ops.attention import (
     attend,
     merge_heads,
-    parse_attn_impl,
+    parse_impl,
     project_qkv,
     split_heads,
 )
@@ -238,7 +238,7 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
     else:
         r_attn = r_attn_out = r_mlp = None
     y = layer_norm(lp["ln_before"], x, cfg.layer_norm_eps)
-    fuse_qkv, _ = parse_attn_impl(use_pallas)
+    fuse_qkv, fuse_mlp, _ = parse_impl(use_pallas)
     q, k, v = project_qkv(lp, y, cfg.num_attention_heads, fuse_qkv)
     ctx = merge_heads(attend(q, k, v, bias, r_attn,
                              cfg.attention_probs_dropout_prob, deterministic,
@@ -247,6 +247,11 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
     attn = dropout(r_attn_out, attn, cfg.hidden_dropout_prob, deterministic)
     x = x + attn
 
+    if fuse_mlp and (deterministic or cfg.hidden_dropout_prob == 0.0):
+        from vault_tpu.ops.pallas_mlp import fused_mlp_block
+
+        return fused_mlp_block(lp["ln_after"], lp["mlp_in"], lp["mlp_out"],
+                               x, cfg.layer_norm_eps, cfg.hidden_act)
     y = layer_norm(lp["ln_after"], x, cfg.layer_norm_eps)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], y))
     mlp = linear(lp["mlp_out"], mlp)

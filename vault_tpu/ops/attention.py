@@ -19,18 +19,27 @@ import jax
 import jax.numpy as jnp
 
 
-def parse_attn_impl(use_pallas):
-    """The ``use_pallas`` knob is an implementation selector:
-    False (XLA), True/"batched" (Pallas, heads looped in-kernel),
-    "grid" (Pallas, (B,H) grid), "dotbatch" (Pallas, one batched dot_general
-    over heads per batch row), optionally prefixed with "fuseqkv+" to compute
-    Q/K/V with one fused (H, 3H) matmul.  Returns (fuse_qkv, attn_impl)."""
+def parse_impl(use_pallas):
+    """The ``use_pallas`` knob is an implementation selector: False (XLA),
+    True/"batched" (Pallas attention, heads looped in-kernel), "grid"
+    (Pallas, (B,H) grid), "dotbatch" (Pallas, one batched dot_general over
+    heads per batch row); "+"-combinable modifiers: "fuseqkv" computes Q/K/V
+    with one fused (H, 3H) matmul, "fusemlp" runs the pre-LN MLP block
+    through the fused Pallas kernel (ops/pallas_mlp.py).  Returns
+    (fuse_qkv, fuse_mlp, attn_impl)."""
     if not isinstance(use_pallas, str):
-        return False, use_pallas
+        return False, False, use_pallas
     parts = [p for p in use_pallas.split("+") if p]
     fuse = "fuseqkv" in parts
-    rest = [p for p in parts if p != "fuseqkv"]
-    return fuse, (rest[0] if rest else False)
+    fuse_mlp = "fusemlp" in parts
+    rest = [p for p in parts if p not in ("fuseqkv", "fusemlp")]
+    return fuse, fuse_mlp, (rest[0] if rest else False)
+
+
+def parse_attn_impl(use_pallas):
+    """(fuse_qkv, attn_impl) — see :func:`parse_impl`."""
+    fuse, _, impl = parse_impl(use_pallas)
+    return fuse, impl
 
 
 def project_qkv(lp, y: jax.Array, num_heads: int, fuse: bool = False):

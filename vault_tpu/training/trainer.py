@@ -25,6 +25,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import optax
 
 from vault_tpu.parallel.mesh import (
@@ -90,6 +91,10 @@ class TrainArgs:
     # micro-batches (train_batch_size must be divisible by it) — large
     # effective batches within the HBM budget
     grad_accum_steps: int = 1
+    # AdamW m/v storage dtype ("bfloat16" saves ~1.7 ms/step optimizer HBM
+    # traffic at full geometry, docs/BENCHMARKS.md; None = fp32, the
+    # accuracy-parity default)
+    opt_state_dtype: Optional[str] = None
 
 
 class EarlyStopping:
@@ -176,7 +181,9 @@ class Trainer:
         num_steps = max(1, steps_per_epoch * int(a.num_train_epochs))
         tx, self._schedule = make_optimizer(
             a.lr, num_steps, a.warmup_ratio, a.adam_beta1, a.adam_beta2,
-            a.adam_epsilon, a.weight_decay, a.correct_bias)
+            a.adam_epsilon, a.weight_decay, a.correct_bias,
+            state_dtype=(jnp.dtype(a.opt_state_dtype)
+                         if a.opt_state_dtype else None))
         self.tx = tx
         self.opt_state = self._place(tx.init(jax.device_get(self.params)))
 
