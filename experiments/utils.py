@@ -44,7 +44,10 @@ TRAINER_ARGS = dict(
     num_train_epochs=dict(default=10, type=int, help="training epochs"),
     warmup_ratio=dict(default=0.1, type=float, help="warmup fraction of steps"),
     num_data_shards=dict(type=int, help="DP mesh size (default: all devices)"),
-    use_pallas=dict(action="store_true", help="use Pallas fused attention"),
+    use_pallas=dict(default="auto", type=str, nargs="?", const="batched",
+                    help="kernel impl selector: auto (default; fused "
+                         "QKV+MLP kernels on TPU, XLA elsewhere), false, "
+                         "or a '+'-combo like fuseqkv+fusemlp+dotbatch"),
     no_remat=dict(action="store_true", help="disable encoder-layer rematerialization (remat is default: faster and fits bigger batches)"),
     grad_accum_steps=dict(default=1, type=int,
                           help="micro-batches averaged per optimizer step"),

@@ -245,3 +245,14 @@ def test_model_with_fusemlp_impl():
     both = vilt_apply(params, cfg, **batch, use_pallas="fuseqkv+fusemlp+dotbatch")
     np.testing.assert_allclose(np.asarray(both.pooler_output),
                                np.asarray(ref.pooler_output), atol=1e-5)
+
+
+def test_auto_impl_resolves_by_backend():
+    from vault_tpu.ops.attention import TPU_DEFAULT_IMPL, parse_impl
+
+    # on the CPU test backend "auto" must resolve to the XLA path
+    assert jax.default_backend() != "tpu"
+    assert parse_impl("auto") == (False, False, False)
+    assert parse_impl("false") == (False, False, False)
+    # the TPU resolution target itself parses to the fused-QKV+MLP combo
+    assert parse_impl(TPU_DEFAULT_IMPL) == (True, True, False)

@@ -113,7 +113,7 @@ def bert_embed(params, cfg: TextTowerConfig, input_ids, token_type_ids=None,
 
 
 def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
-                   use_pallas=False):
+                   use_pallas="auto"):
     """One post-LN BERT layer."""
     if rng is not None:
         r_attn, r_attn_out, r_mlp = jax.random.split(rng, 3)
@@ -136,7 +136,7 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
 
 
 def bert_encode(params, cfg: TextTowerConfig, x, attention_mask,
-                deterministic=True, rng=None, use_pallas=False, remat=False,
+                deterministic=True, rng=None, use_pallas="auto", remat=False,
                 bias=None):
     """Run the stacked encoder with lax.scan over layers.  ``bias`` (a
     prebuilt additive mask) takes precedence over ``attention_mask``."""
@@ -158,7 +158,7 @@ def bert_encode(params, cfg: TextTowerConfig, x, attention_mask,
 
 def bert_apply(params, cfg: TextTowerConfig, input_ids=None, attention_mask=None,
                token_type_ids=None, position_ids=None, inputs_embeds=None,
-               deterministic=True, rng=None, use_pallas=False, remat=False):
+               deterministic=True, rng=None, use_pallas="auto", remat=False):
     """Full tower: embeddings + encoder.  Returns last_hidden_state (B, L, H).
 
     Mirrors ``self.bert(**bert_kwargs).last_hidden_state`` at

@@ -52,7 +52,7 @@ def init_vault(rng, cfg: VaultConfig):
 
 def lm_encode(params, cfg: VaultConfig, input_ids, attention_mask,
               token_type_ids=None, inputs_embeds=None, deterministic=True,
-              rng=None, use_pallas=False, remat=False):
+              rng=None, use_pallas="auto", remat=False):
     """The reference's ``lm_preprocess`` (vault/models/vault/model.py:151-202):
     run the LM tower; token-type guard for towers with <2 segment types
     (RoBERTa/BERTweet, :174-180); freeze-LM via stop_gradient (:189-190)."""
@@ -71,7 +71,7 @@ def lm_encode(params, cfg: VaultConfig, input_ids, attention_mask,
 def vault_apply(params, cfg: VaultConfig, input_ids=None, attention_mask=None,
                 token_type_ids=None, pixel_values=None, pixel_mask=None,
                 inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
-                deterministic=True, rng=None, use_pallas=False,
+                deterministic=True, rng=None, use_pallas="auto",
                 remat=False) -> ViltOutput:
     """VaultModel.forward equivalent (vault/models/vault/model.py:207-218,
     369-372): optional LM pass, then ViLT with inputs_embeds."""
@@ -242,7 +242,7 @@ def vault_with_llama_tower(params, vilt_cfg: ViltConfig, llama_cfg,
                            input_ids, attention_mask=None, token_type_ids=None,
                            pixel_values=None, pixel_mask=None,
                            image_embeds=None, deterministic=True, rng=None,
-                           use_pallas=False) -> ViltOutput:
+                           use_pallas="auto") -> ViltOutput:
     """Stretch composition (BASELINE.json config 5): a Llama tower's hidden
     states, width-projected to ViLT's hidden size, replace the BERT
     contextual embeddings feeding the co-encoder."""
@@ -263,7 +263,7 @@ def vault_with_llama_tower(params, vilt_cfg: ViltConfig, llama_cfg,
 
 def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
                              head_dropout: float = 0.1, deterministic=True,
-                             rng=None, use_pallas=False, remat=False):
+                             rng=None, use_pallas="auto", remat=False):
     """VaultForTMSC.forward (vault/models/vault/model.py:547-570): backbone
     pooler -> dropout -> linear logits.  Used for TMSC (3-way), MVSA (3/6-way)
     and Bloomberg (1-logit BCE)."""
@@ -279,7 +279,7 @@ def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
 
 
 def vault_for_mlm(params, cfg: VaultConfig, batch, deterministic=True,
-                  rng=None, use_pallas=False, remat=False):
+                  rng=None, use_pallas="auto", remat=False):
     """VaultForMaskedLM (vault/models/vault/model.py:467-468): MLM logits over
     the text span of the joint sequence."""
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
@@ -292,21 +292,21 @@ def vault_for_mlm(params, cfg: VaultConfig, batch, deterministic=True,
 
 
 def vault_for_vqa(params, cfg: VaultConfig, batch, deterministic=True,
-                  rng=None, use_pallas=False, remat=False):
+                  rng=None, use_pallas="auto", remat=False):
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
                       use_pallas=use_pallas, remat=remat, **batch)
     return vqa_head_apply(params["vqa"], cfg.resolved_vilt(), out.pooler_output)
 
 
 def vault_for_retrieval(params, cfg: VaultConfig, batch, deterministic=True,
-                        rng=None, use_pallas=False, remat=False):
+                        rng=None, use_pallas="auto", remat=False):
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
                       use_pallas=use_pallas, remat=remat, **batch)
     return rank_head_apply(params["rank"], out.pooler_output)
 
 
 def vault_for_images_and_text(params, cfg: VaultConfig, batch,
-                              deterministic=True, rng=None, use_pallas=False,
+                              deterministic=True, rng=None, use_pallas="auto",
                               remat=False):
     """VaultForImagesAndTextClassification: pixel_values (B, num_images, C, H, W);
     one backbone pass per image with its own modality slot, concat poolers."""

@@ -231,7 +231,7 @@ def joint_embed(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
 # ---------------------------------------------------------------------------
 
 def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
-                   use_pallas=False):
+                   use_pallas="auto"):
     """One pre-LN ViLT layer (modeling_vilt.py ViltLayer.forward)."""
     if rng is not None:
         r_attn, r_attn_out, r_mlp = jax.random.split(rng, 3)
@@ -260,7 +260,7 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
 
 
 def vilt_encode(params, cfg: ViltConfig, x, attention_mask, deterministic=True,
-                rng=None, use_pallas=False, remat=False):
+                rng=None, use_pallas="auto", remat=False):
     bias = extend_attention_mask(attention_mask, jnp.float32)
 
     def body(carry, lp):
@@ -283,7 +283,7 @@ def pooler(params, x):
 def vilt_apply(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
                token_type_ids=None, pixel_values=None, pixel_mask=None,
                inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
-               deterministic=True, rng=None, use_pallas=False,
+               deterministic=True, rng=None, use_pallas="auto",
                remat=False) -> ViltOutput:
     """Full ViltModel.forward equivalent (modeling_vilt.py:599-717)."""
     if rng is not None:

@@ -19,14 +19,27 @@ import jax
 import jax.numpy as jnp
 
 
+# What "auto" resolves to on TPU: measured 7.63 vs 8.68 ms XLA full-model
+# at batch 16 on v5e (docs/BENCHMARKS.md) — fused (H,3H) QKV matmul + the
+# fused LN->MLP->residual kernel; the XLA attention core stays (it beats
+# every Pallas attention variant tried at L=256/d=64).
+TPU_DEFAULT_IMPL = "fuseqkv+fusemlp"
+
+
 def parse_impl(use_pallas):
     """The ``use_pallas`` knob is an implementation selector: False (XLA),
     True/"batched" (Pallas attention, heads looped in-kernel), "grid"
     (Pallas, (B,H) grid), "dotbatch" (Pallas, one batched dot_general over
     heads per batch row); "+"-combinable modifiers: "fuseqkv" computes Q/K/V
     with one fused (H, 3H) matmul, "fusemlp" runs the pre-LN MLP block
-    through the fused Pallas kernel (ops/pallas_mlp.py).  Returns
+    through the fused Pallas kernel (ops/pallas_mlp.py).  "auto" resolves to
+    TPU_DEFAULT_IMPL on a TPU backend and False elsewhere.  Returns
     (fuse_qkv, fuse_mlp, attn_impl)."""
+    if use_pallas == "auto":
+        use_pallas = (TPU_DEFAULT_IMPL
+                      if jax.default_backend() == "tpu" else False)
+    elif use_pallas in ("false", "False", "0", "none", "off"):
+        use_pallas = False  # CLI string forms
     if not isinstance(use_pallas, str):
         return False, False, use_pallas
     parts = [p for p in use_pallas.split("+") if p]

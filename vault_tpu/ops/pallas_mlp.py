@@ -40,6 +40,27 @@ def _mlp_block_xla(ln_p, p_in, p_out, x, eps, act):
     return x + linear(p_out, act_fn(act)(linear(p_in, y)))
 
 
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |abs error| <= 1.5e-7 —
+    Mosaic lowers neither erf nor erfc, and 1.5e-7 is ~4 orders below bf16
+    output resolution (parity tests vs exact-erf GELU pass at 2e-5)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel_act(name: str):
+    """In-kernel activation; exact (erf) GELU via the A&S approximation."""
+    if name == "gelu":
+        return lambda x: 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
+    return act_fn(name)
+
+
 def _mlp_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref, *, eps, act):
     x = x_ref[...]                                   # (R, H)
@@ -51,7 +72,7 @@ def _mlp_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y = y.astype(x.dtype)
     h = jnp.dot(y, w1_ref[...], preferred_element_type=jnp.float32)
     h = h + b1_ref[0]
-    h = act_fn(act)(h).astype(x.dtype)
+    h = _kernel_act(act)(h).astype(x.dtype)
     o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     o = o + b2_ref[0]
     out_ref[...] = o.astype(x.dtype) + x

@@ -75,7 +75,10 @@ class TrainArgs:
     seed: int = 0
     # TPU-native:
     num_data_shards: Optional[int] = None     # default: all devices
-    use_pallas: bool = False
+    # impl selector (ops/attention.py parse_impl): "auto" = fused QKV +
+    # fused LN->MLP kernel on TPU (measured 12% faster forward), XLA
+    # elsewhere; False forces XLA everywhere
+    use_pallas: Any = "auto"
     # remat measured FASTER than storing scan activations even at batch 16
     # (41.4 vs 43.4 ms/step full geometry) and required to fit batch 64
     remat: bool = True
