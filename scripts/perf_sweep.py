@@ -22,7 +22,8 @@ from vault_tpu.models.vault import init_vault, vault_apply
 from vault_tpu.presets import vault_base
 
 SEQ = 40
-CANVAS = (384, 608)
+CANVAS = tuple(int(v) for v in
+               os.environ.get("PERF_SWEEP_CANVAS", "384,608").split(","))
 K_LO, K_HI = 2, 12
 
 

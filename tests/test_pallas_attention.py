@@ -252,7 +252,74 @@ def test_auto_impl_resolves_by_backend():
 
     # on the CPU test backend "auto" must resolve to the XLA path
     assert jax.default_backend() != "tpu"
-    assert parse_impl("auto") == (False, False, False)
-    assert parse_impl("false") == (False, False, False)
-    # the TPU resolution target itself parses to the fused-QKV+MLP combo
-    assert parse_impl(TPU_DEFAULT_IMPL) == (True, True, False)
+    assert parse_impl("auto") == (False, False, False, False)
+    assert parse_impl("false") == (False, False, False, False)
+    # the TPU resolution target itself parses to fused kernels, XLA attention
+    fuse_qkv, fuse_lnqkv, fuse_mlp, attn = parse_impl(TPU_DEFAULT_IMPL)
+    assert (fuse_qkv or fuse_lnqkv) and fuse_mlp and attn is False
+
+
+def test_fused_ln_qkv_matches_xla():
+    from vault_tpu.ops.pallas_mlp import _ln_qkv_xla, fused_ln_qkv_fwd
+
+    rng = np.random.default_rng(10)
+    h = 128
+    for rows in (512, 20):
+        x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(h,)) * 0.1 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(h, 3 * h)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(3 * h,)) * 0.05, jnp.float32)
+        ref = _ln_qkv_xla({"scale": gamma, "bias": beta}, w, b, x, 1e-12)
+        out = fused_ln_qkv_fwd(gamma, beta, w, b, x, interpret=True,
+                               row_tile=256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_fused_ln_qkv_grad_matches_xla():
+    from vault_tpu.ops.pallas_mlp import _ln_qkv_xla, fused_ln_qkv
+
+    rng = np.random.default_rng(11)
+    h = 128
+    x = jnp.asarray(rng.normal(size=(2, 8, h)), jnp.float32)
+    ln_p = {"scale": jnp.ones((h,)), "bias": jnp.zeros((h,))}
+    ps = [{"w": jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.float32),
+           "b": jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.float32)}
+          for _ in range(3)]
+
+    def ref_fn(ln_p, pq, pk, pv, x):
+        from vault_tpu.ops.nn import layer_norm, linear
+        y = layer_norm(ln_p, x, 1e-12)
+        return jnp.concatenate([linear(pq, y), linear(pk, y),
+                                linear(pv, y)], axis=-1)
+
+    def loss(fn):
+        def f(ln_p, pq, pk, pv, x):
+            return jnp.sum(fn(ln_p, pq, pk, pv, x) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(ln_p, *ps, x)
+
+    g_ref = loss(ref_fn)
+    g_pal = loss(lambda ln_p, pq, pk, pv, x: fused_ln_qkv(ln_p, pq, pk, pv,
+                                                          x, 1e-12))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_model_with_fuselnqkv_impl():
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config()
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(12)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int64),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 64, 64)),
+                                 jnp.float32),
+        pixel_mask=jnp.ones((2, 64, 64), jnp.int64))
+    ref = vilt_apply(params, cfg, **batch, use_pallas=False)
+    out = vilt_apply(params, cfg, **batch, use_pallas="fuselnqkv+fusemlp")
+    np.testing.assert_allclose(np.asarray(out.pooler_output),
+                               np.asarray(ref.pooler_output), atol=1e-5)

@@ -237,9 +237,17 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
         r_attn, r_attn_out, r_mlp = jax.random.split(rng, 3)
     else:
         r_attn = r_attn_out = r_mlp = None
-    y = layer_norm(lp["ln_before"], x, cfg.layer_norm_eps)
-    fuse_qkv, fuse_mlp, _ = parse_impl(use_pallas)
-    q, k, v = project_qkv(lp, y, cfg.num_attention_heads, fuse_qkv)
+    fuse_qkv, fuse_lnqkv, fuse_mlp, _ = parse_impl(use_pallas)
+    if fuse_lnqkv:
+        from vault_tpu.ops.pallas_mlp import fused_ln_qkv
+
+        qkv = fused_ln_qkv(lp["ln_before"], lp["q"], lp["k"], lp["v"], x,
+                           cfg.layer_norm_eps)
+        q, k, v = (split_heads(t, cfg.num_attention_heads)
+                   for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        y = layer_norm(lp["ln_before"], x, cfg.layer_norm_eps)
+        q, k, v = project_qkv(lp, y, cfg.num_attention_heads, fuse_qkv)
     ctx = merge_heads(attend(q, k, v, bias, r_attn,
                              cfg.attention_probs_dropout_prob, deterministic,
                              use_pallas=use_pallas))

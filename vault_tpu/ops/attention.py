@@ -31,27 +31,30 @@ def parse_impl(use_pallas):
     True/"batched" (Pallas attention, heads looped in-kernel), "grid"
     (Pallas, (B,H) grid), "dotbatch" (Pallas, one batched dot_general over
     heads per batch row); "+"-combinable modifiers: "fuseqkv" computes Q/K/V
-    with one fused (H, 3H) matmul, "fusemlp" runs the pre-LN MLP block
-    through the fused Pallas kernel (ops/pallas_mlp.py).  "auto" resolves to
-    TPU_DEFAULT_IMPL on a TPU backend and False elsewhere.  Returns
-    (fuse_qkv, fuse_mlp, attn_impl)."""
+    with one fused (H, 3H) matmul, "fuselnqkv" additionally folds the
+    pre-LN LayerNorm into that matmul's Pallas kernel, "fusemlp" runs the
+    pre-LN MLP block through the fused Pallas kernel (ops/pallas_mlp.py).
+    "auto" resolves to TPU_DEFAULT_IMPL on a TPU backend and False
+    elsewhere.  Returns (fuse_qkv, fuse_lnqkv, fuse_mlp, attn_impl)."""
     if use_pallas == "auto":
         use_pallas = (TPU_DEFAULT_IMPL
                       if jax.default_backend() == "tpu" else False)
     elif use_pallas in ("false", "False", "0", "none", "off"):
         use_pallas = False  # CLI string forms
     if not isinstance(use_pallas, str):
-        return False, False, use_pallas
+        return False, False, False, use_pallas
     parts = [p for p in use_pallas.split("+") if p]
     fuse = "fuseqkv" in parts
+    fuse_lnqkv = "fuselnqkv" in parts
     fuse_mlp = "fusemlp" in parts
-    rest = [p for p in parts if p not in ("fuseqkv", "fusemlp")]
-    return fuse, fuse_mlp, (rest[0] if rest else False)
+    rest = [p for p in parts
+            if p not in ("fuseqkv", "fuselnqkv", "fusemlp")]
+    return fuse, fuse_lnqkv, fuse_mlp, (rest[0] if rest else False)
 
 
 def parse_attn_impl(use_pallas):
     """(fuse_qkv, attn_impl) — see :func:`parse_impl`."""
-    fuse, _, impl = parse_impl(use_pallas)
+    fuse, _, _, impl = parse_impl(use_pallas)
     return fuse, impl
 
 

@@ -153,3 +153,100 @@ def fused_mlp_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
         return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act)
     return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"], p_in["b"],
                       p_out["w"], p_out["b"], x, eps, act)
+
+
+# ---------------------------------------------------------------------------
+# Fused LN -> QKV projection ("fuselnqkv")
+# ---------------------------------------------------------------------------
+
+def _ln_qkv_xla(ln_p, wqkv, bqkv, x, eps):
+    y = layer_norm(ln_p, x, eps)
+    return linear({"w": wqkv, "b": bqkv}, y)
+
+
+def _ln_qkv_kernel(x_ref, g_ref, bta_ref, w_ref, b_ref, out_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * g_ref[0] + bta_ref[0]).astype(x_ref.dtype)
+    o = jnp.dot(y, w_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = (o + b_ref[0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
+def fused_ln_qkv_fwd(gamma, beta, wqkv, bqkv, x, eps: float = 1e-12,
+                     interpret: bool | None = None,
+                     row_tile: int = ROW_TILE) -> jax.Array:
+    """x: (..., H) -> (..., 3H): LayerNorm computed in-kernel feeding one
+    (H, 3H) matmul — the LN tensor never round-trips HBM and Q/K/V leave as
+    one contiguous write (the remaining LN pass of the ablation's 2.3 ms
+    after fusemlp takes the MLP-side one)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    out_dim = wqkv.shape[1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = row_tile if rows % row_tile == 0 else rows
+    in_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b2 = (v.reshape(1, -1) for v in (gamma, beta, bqkv))
+    out = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[in_spec, full(g2), full(bta2), full(wqkv), full(b2)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, out_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * h_dim * out_dim,
+            bytes_accessed=(rows * (h_dim + out_dim) * x.dtype.itemsize
+                            + wqkv.size * wqkv.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(x2, g2, bta2, wqkv, b2)
+    return out.reshape(*shape[:-1], out_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_ln_qkv(gamma, beta, wqkv, bqkv, x, eps):
+    return fused_ln_qkv_fwd(gamma, beta, wqkv, bqkv, x, eps)
+
+
+def _fused_ln_qkv_fwd(gamma, beta, wqkv, bqkv, x, eps):
+    return (_fused_ln_qkv(gamma, beta, wqkv, bqkv, x, eps),
+            (gamma, beta, wqkv, bqkv, x))
+
+
+def _fused_ln_qkv_bwd(eps, residuals, g):
+    gamma, beta, wqkv, bqkv, x = residuals
+
+    def f(gamma, beta, wqkv, bqkv, x):
+        return _ln_qkv_xla({"scale": gamma, "bias": beta}, wqkv, bqkv, x, eps)
+
+    _, vjp = jax.vjp(f, gamma, beta, wqkv, bqkv, x)
+    return vjp(g)
+
+
+_fused_ln_qkv.defvjp(_fused_ln_qkv_fwd, _fused_ln_qkv_bwd)
+
+
+def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
+    """Drop-in for LN(ln_before) + Q/K/V projections of a pre-LN layer;
+    returns the (..., 3H) concat to be split by the caller.  Quantized
+    weights fall back to the XLA path."""
+    if any("w" not in p for p in (pq, pk, pv)):
+        y = layer_norm(ln_p, x, eps)
+        return jnp.concatenate(
+            [linear(pq, y), linear(pk, y), linear(pv, y)], axis=-1)
+    wqkv = jnp.concatenate([pq["w"], pk["w"], pv["w"]], axis=1)
+    bqkv = jnp.concatenate(
+        [p.get("b", jnp.zeros((p["w"].shape[1],), p["w"].dtype))
+         for p in (pq, pk, pv)])
+    return _fused_ln_qkv(ln_p["scale"], ln_p["bias"], wqkv, bqkv, x, eps)
