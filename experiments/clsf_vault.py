@@ -61,6 +61,10 @@ VAULT_MODEL_ARGS = dict(
     entity_threshold=dict(default=0.0, type=float,
                           help="linker confidence threshold (reference "
                                "EntityLinker threshold)"),
+    canvas=dict(default="default", type=str,
+                help="pixel canvas: 'default' (static 608x608, one jit "
+                     "program), 'auto' ({384,608}-bucketed per batch, <=4 "
+                     "programs, landscape batches ~13%% faster), or 'HxW'"),
 )
 
 TASK_ARGS = {
@@ -170,7 +174,14 @@ def main():
                                 args.max_length)
     if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
         tokenizer.add_tokens(["$T$"])
-    proc_kw = {"canvas": canvas} if canvas else {}
+    proc_kw = {}
+    if canvas:  # debug_tiny geometry wins
+        proc_kw["canvas"] = canvas
+    elif args.canvas == "auto":
+        proc_kw["canvas"] = "auto"
+    elif args.canvas != "default":
+        h, w = args.canvas.lower().split("x")
+        proc_kw["canvas"] = (int(h), int(w))
     processor = VaultProcessor(tokenizer, max_length=args.max_length, **proc_kw)
 
     # text preprocessing per reference recipe (twitter preprocessor +

@@ -159,3 +159,37 @@ def test_profiler_trace_smoke(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     import os
     assert any("plugins" in r or f for r, d, f in os.walk(tmp_path))
+
+
+def test_auto_canvas_bucketing():
+    """canvas='auto': smallest {384,608}-bucketed canvas per batch —
+    landscape (384,608), portrait (608,384), small square (384,384),
+    mixed orientations (608,608)."""
+    import numpy as np
+
+    from vault_tpu.data.image import bucket_canvas, preprocess_image
+    from vault_tpu.data.processor import VaultProcessor
+    from vault_tpu.models.pretrained import build_tokenizer
+
+    proc = VaultProcessor(build_tokenizer("bert-base-uncased"), canvas="auto")
+    rng = np.random.default_rng(0)
+
+    def img(h, w):
+        return rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+
+    cases = [
+        ([img(480, 640)], (384, 608)),            # landscape
+        ([img(640, 480)], (608, 384)),            # portrait
+        ([img(300, 300)], (384, 384)),            # small square
+        ([img(480, 640), img(640, 480)], (608, 608)),   # mixed
+    ]
+    for images, want in cases:
+        pv, pm = proc.encode_images(images)
+        assert pv.shape[2:] == want, (pv.shape, want)
+        assert pm.shape[1:] == want
+        # valid region marked, padding zeroed
+        assert pm[0].sum() > 0 and pv[0, :, pm[0] == 0].sum() == 0
+
+    # bucket_canvas unit: oversized custom geometry passes through
+    big = [np.zeros((3, 700, 200), np.float32)]
+    assert bucket_canvas(big) == (700, 384)

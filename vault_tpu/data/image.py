@@ -148,6 +148,28 @@ def preprocess_image(image: np.ndarray, safe: bool = True,
     return resize_normalize(np.asarray(image), (th, tw))
 
 
+def bucket_canvas(images: Sequence[np.ndarray],
+                  buckets: Tuple[int, ...] = (SHORTER, 608)) -> Tuple[int, int]:
+    """Smallest bucketed canvas covering every image in the batch.
+
+    Each side rounds the batch max up to the next bucket value (384 or 608
+    by default), so at most len(buckets)^2 distinct canvases — hence jit
+    programs — can ever exist: landscape batches get (384, 608), portrait
+    (608, 384), small squares (384, 384), mixed orientations (608, 608).
+    Measured on v5e (docs/BENCHMARKS.md): the 608x608 worst case costs +13%
+    over (384, 608), so orientation-homogeneous batches win it back."""
+    max_h = max(im.shape[1] for im in images)
+    max_w = max(im.shape[2] for im in images)
+
+    def up(v):
+        for b in buckets:
+            if v <= b:
+                return b
+        return v  # oversized (custom geometry) — use as-is
+
+    return up(max_h), up(max_w)
+
+
 def pad_batch(images: Sequence[np.ndarray],
               canvas: Optional[Tuple[int, int]] = None):
     """Collate (C, H_i, W_i) images: zero-pad to the batch max (reference

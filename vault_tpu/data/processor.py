@@ -19,13 +19,24 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from vault_tpu.data.image import DEFAULT_CANVAS, pad_batch, preprocess_image
+from vault_tpu.data.image import (
+    DEFAULT_CANVAS,
+    bucket_canvas,
+    pad_batch,
+    preprocess_image,
+)
 
 
 class VaultProcessor:
     def __init__(self, tokenizer, max_length: int = 40,
                  canvas: Optional[Tuple[int, int]] = DEFAULT_CANVAS,
                  safe_images: bool = True, shorter: Optional[int] = None):
+        """``canvas``: a fixed (H, W) pins pixel_values to one static shape
+        (one jit program ever); ``"auto"`` picks the smallest {384,608}-
+        bucketed canvas per batch (at most 4 programs; landscape batches get
+        the 13%-faster 384x608 geometry, docs/BENCHMARKS.md); ``None``
+        reproduces the reference's dynamic pad-to-batch-max
+        (vault/vl_utils/dataset_utils.py:7-36)."""
         self.tokenizer = tokenizer
         self.max_length = max_length
         self.canvas = canvas
@@ -33,7 +44,7 @@ class VaultProcessor:
         # resize geometry scales with a custom canvas: shortest edge target is
         # min(canvas, 384) unless given explicitly (384 on the default canvas).
         if shorter is None:
-            shorter = min(canvas) if canvas is not None else 384
+            shorter = (min(canvas) if isinstance(canvas, tuple) else 384)
             shorter = min(shorter, 384)
         self.shorter = shorter
         self.longer = int(1333 / 800 * shorter)
@@ -60,12 +71,15 @@ class VaultProcessor:
 
     def encode_images(self, images: Sequence[np.ndarray],
                       augment_rng: Optional[np.random.Generator] = None):
+        auto = self.canvas == "auto"
+        max_hw = None if auto else self.canvas
         processed = [preprocess_image(im, safe=self.safe_images,
                                       augment_rng=augment_rng,
                                       shorter=self.shorter, longer=self.longer,
-                                      max_hw=self.canvas)
+                                      max_hw=max_hw)
                      for im in images]
-        return pad_batch(processed, canvas=self.canvas)
+        canvas = bucket_canvas(processed) if auto else self.canvas
+        return pad_batch(processed, canvas=canvas)
 
     def __call__(self, images, texts, text_pairs=None,
                  augment_rng: Optional[np.random.Generator] = None,
