@@ -89,10 +89,17 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
 
+    # PRECAST=1: params arrive bf16 (no per-step master->compute cast) —
+    # isolates the cast's HBM cost from the rest of the forward
+    precast = os.environ.get("TRAIN_BENCH_PRECAST", "0") == "1"
+    if precast:
+        params = cast_bf16(params)
+
     def loss_fn(p, pixel_scale):
         b = dict(batch)
         b["pixel_values"] = batch["pixel_values"] * pixel_scale
-        logits = vault_for_classification(cast_bf16(p), cfg, b,
+        logits = vault_for_classification(p if precast else cast_bf16(p),
+                                          cfg, b,
                                           head_dropout=0.1,
                                           deterministic=False,
                                           rng=jax.random.PRNGKey(0),

@@ -132,6 +132,12 @@ def _fused_mlp_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act):
 
 def _fused_mlp_bwd(eps, act, residuals, g):
     gamma, beta, w1, b1, w2, b2, x = residuals
+    if act == "gelu":
+        # fused backward kernel (recompute-in-VMEM; see
+        # fused_mlp_block_bwd below)
+        dgamma, dbeta, dw1, db1, dw2, db2, dx = fused_mlp_block_bwd(
+            gamma, beta, w1, b1, w2, b2, x, g, eps)
+        return dgamma, dbeta, dw1, db1, dw2, db2, dx
 
     def f(gamma, beta, w1, b1, w2, b2, x):
         return _mlp_block_xla({"scale": gamma, "bias": beta},
@@ -250,3 +256,133 @@ def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
         [p.get("b", jnp.zeros((p["w"].shape[1],), p["w"].dtype))
          for p in (pq, pk, pv)])
     return _fused_ln_qkv(ln_p["scale"], ln_p["bias"], wqkv, bqkv, x, eps)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP-block BACKWARD kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA backward of the MLP block (under per-layer remat) rematerializes
+# y/h1/a and streams da/dh1/dy through HBM — ~240 MB of activation traffic
+# per layer at bench geometry.  This kernel recomputes the forward chain
+# in VMEM from the x tile and emits, per row tile:
+#   dx     (residual + LN backward)           — the data-path gradient
+#   dh1, a, y                                  — the minimal activations the
+#                                               weight-grad matmuls need
+# plus dgamma/dbeta accumulated across the sequential grid.  The weight
+# grads themselves (dW1 = y^T dh1, dW2 = a^T g, db1, db2) stay in XLA —
+# they are pure matmuls/reductions XLA already runs at the MXU floor.
+
+BWD_ROW_TILE = 128
+
+
+def _gelu_grad(h):
+    """d/dh [0.5 h (1+erf(h/sqrt2))] = 0.5(1+erf(h/sqrt2)) + h phi(h),
+    with the A&S erf (Mosaic has no erf primitive)."""
+    cdf = 0.5 * (1.0 + _erf_approx(h * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * h * h) * (1.0 / (2.0 * jnp.pi) ** 0.5)
+    return cdf + h * pdf
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, gamma_ref, bta_ref, w1_ref, b1_ref,
+                    w2_ref, dx_ref, dh1_ref, a_ref, y_ref,
+                    dgamma_ref, dbeta_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)                     # (R, H)
+    g = g_ref[...].astype(jnp.float32)
+    gamma = gamma_ref[0]
+    # ---- recompute the forward chain in VMEM
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    y = xhat * gamma + bta_ref[0]
+    yc = y.astype(x_ref.dtype)
+    h1 = jnp.dot(yc, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b1_ref[0]
+    a = (0.5 * h1 * (1.0 + _erf_approx(h1 * (2.0 ** -0.5))))
+    ac = a.astype(x_ref.dtype)
+    # ---- backward
+    gc = g.astype(x_ref.dtype)
+    da = jax.lax.dot_general(gc, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # g @ W2^T
+    dh1 = da * _gelu_grad(h1)
+    dh1c = dh1.astype(x_ref.dtype)
+    dy = jax.lax.dot_general(dh1c, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # dh1 @ W1^T
+    dxhat = dy * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = (dxhat - m1 - xhat * m2) * rstd
+    dx_ref[...] = (g + dx_ln).astype(dx_ref.dtype)         # + residual path
+    dh1_ref[...] = dh1c
+    a_ref[...] = ac
+    y_ref[...] = yc
+    # ---- LN param grads accumulate across the (sequential) grid
+    part_g = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    part_b = jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+
+    dgamma_ref[...] += part_g
+    dbeta_ref[...] += part_b
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
+def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+                        eps: float = 1e-12, interpret: bool | None = None,
+                        row_tile: int = BWD_ROW_TILE):
+    """Gradients of ``x + gelu(LN(x)@W1+b1)@W2+b2`` w.r.t. every input.
+    Returns (dgamma, dbeta, dw1, db1, dw2, db2, dx)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    inner = w1.shape[1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    g2 = g.reshape(rows, h_dim)
+    tile = row_tile if rows % row_tile == 0 else rows
+    row_h = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    row_i = pl.BlockSpec((tile, inner), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    gam2, bta2, b1_2 = (v.reshape(1, -1) for v in (gamma, beta, b1))
+    dx, dh1, a, y, dgamma, dbeta = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[row_h, row_h, full(gam2), full(bta2), full(w1),
+                  full(b1_2), full(w2)],
+        out_specs=[row_h, row_i, row_i, row_h, acc, acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+            jax.ShapeDtypeStruct((rows, inner), x.dtype),
+            jax.ShapeDtypeStruct((rows, inner), x.dtype),
+            jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+            jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * rows * h_dim * inner,
+            bytes_accessed=(rows * (4 * h_dim + 2 * inner) * x.dtype.itemsize
+                            + (w1.size + w2.size) * w1.dtype.itemsize),
+            transcendentals=2 * rows * inner,
+        ),
+    )(x2, g2, gam2, bta2, w1, b1_2, w2)
+    # weight grads: plain matmuls at the MXU floor (XLA)
+    dw1 = jnp.matmul(y.T, dh1, preferred_element_type=jnp.float32
+                     ).astype(w1.dtype)
+    db1 = jnp.sum(dh1.astype(jnp.float32), axis=0).astype(b1.dtype)
+    dw2 = jnp.matmul(a.T, g2, preferred_element_type=jnp.float32
+                     ).astype(w2.dtype)
+    db2 = jnp.sum(g2.astype(jnp.float32), axis=0).astype(b2.dtype)
+    return (dgamma.reshape(-1).astype(gamma.dtype),
+            dbeta.reshape(-1).astype(beta.dtype),
+            dw1, db1, dw2, db2, dx.reshape(shape))
