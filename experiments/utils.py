@@ -58,6 +58,9 @@ TRAINER_ARGS = dict(
                          type=str, help="AdamW m/v storage dtype (bfloat16 "
                          "cuts optimizer HBM traffic ~1.7 ms/step at full "
                          "geometry; default fp32)"),
+    zero_opt=dict(action="store_true",
+                  help="ZeRO-1: shard AdamW moments 1/N over the DP mesh "
+                       "(each chip stores and updates 1/N of the state)"),
     seed=dict(default=0, type=int, help="base random seed"),
 )
 
@@ -80,7 +83,7 @@ def trainer_args_from_namespace(args, **overrides):
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
         remat=not args.no_remat, compute_dtype=args.compute_dtype,
-        opt_state_dtype=args.opt_state_dtype,
+        opt_state_dtype=args.opt_state_dtype, zero_opt=args.zero_opt,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
     )
     kw.update(overrides)

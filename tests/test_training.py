@@ -472,3 +472,58 @@ def test_load_reference_obj_pkl(tmp_path):
     h.log()
     h2 = ExperimentHandler.load_existent(str(d))
     assert h2._series == h._series and h2._finals == h._finals
+
+
+def test_zero_opt_sharding_matches_replicated():
+    """ZeRO-1 (parallel/zero.py): AdamW m/v sharded 1/N over the data axis —
+    update results must match the replicated-optimizer step exactly, and the
+    moment leaves must actually BE sharded (and stay sharded across donated
+    steps)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    results = {}
+    for zero in (False, True):
+        p = jax.device_get(params)
+        args = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=1,
+                         num_data_shards=8, seed=0, zero_opt=zero)
+        tr = Trainer(apply_fn, jax.tree.map(jnp.asarray, p), args,
+                     InMemoryDataset(feats, labels),
+                     exp_handler=ExperimentHandler("/tmp/zero_test",
+                                                   f"z{zero}"))
+        tr._build_steps(3)
+        batch = {k: v[:16] for k, v in feats.items()}
+        b, l, w = tr._pad(batch, labels[:16])
+        from vault_tpu.parallel.mesh import shard_batch
+        newp, new_opt, loss_acc = tr._train_step(
+            tr.params, tr.opt_state, jnp.float32(0.0),
+            shard_batch(tr.mesh, b), shard_batch(tr.mesh, l),
+            shard_batch(tr.mesh, w), jax.random.PRNGKey(1))
+        if zero:
+            # at least one moment leaf is genuinely split over "data",
+            # and the OUTPUT opt state keeps that sharding
+            specs = [x.sharding.spec for x in jax.tree.leaves(new_opt)
+                     if hasattr(x, "sharding") and np.ndim(x) > 0]
+            assert any("data" in (s or ()) for spec in specs
+                       for s in [tuple(spec)]), specs
+        results[zero] = (float(loss_acc), jax.device_get(newp),
+                         jax.device_get(new_opt))
+    assert abs(results[False][0] - results[True][0]) < 1e-6
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(a, b, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(results[False][2]),
+                    jax.tree.leaves(results[True][2])):
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_zero_leaf_spec():
+    from jax.sharding import PartitionSpec as P
+
+    from vault_tpu.parallel.zero import _leaf_spec
+
+    assert _leaf_spec((), 8) == P()                      # scalar count
+    assert _leaf_spec((30522, 64), 8) == P(None, "data")  # 64 % 8 == 0
+    assert _leaf_spec((16, 64), 8) == P(None, "data")     # largest divisible
+    assert _leaf_spec((7,), 8) == P()                     # nothing divides
+    assert _leaf_spec((8, 8), 8) == P("data", None)       # tie -> first

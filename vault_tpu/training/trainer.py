@@ -98,6 +98,10 @@ class TrainArgs:
     # traffic at full geometry, docs/BENCHMARKS.md; None = fp32, the
     # accuracy-parity default)
     opt_state_dtype: Optional[str] = None
+    # ZeRO-1: shard AdamW m/v over the DP mesh axis (parallel/zero.py) —
+    # each chip stores 1/N of the moments and does 1/N of the update,
+    # with GSPMD inserting the update all-gather
+    zero_opt: bool = False
 
 
 class EarlyStopping:
@@ -188,7 +192,12 @@ class Trainer:
             state_dtype=(jnp.dtype(a.opt_state_dtype)
                          if a.opt_state_dtype else None))
         self.tx = tx
-        self.opt_state = self._place(tx.init(jax.device_get(self.params)))
+        if a.zero_opt:
+            from vault_tpu.parallel.zero import place_zero
+            self.opt_state = place_zero(tx.init(jax.device_get(self.params)),
+                                        self.mesh)
+        else:
+            self.opt_state = self._place(tx.init(jax.device_get(self.params)))
 
         def cast_compute(p):
             """Mixed precision: bf16 compute copy; fp32 master weights stay in
@@ -263,7 +272,16 @@ class Trainer:
         # shardings follow argument placement: params/opt_state were placed by
         # _place (replicated or TP-sharded), batch/labels/weight arrive via
         # shard_batch over the "data" axis; GSPMD inserts the collectives.
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        # Under zero_opt the opt_state output sharding is pinned so the
+        # moments STAY 1/N-sharded across donated steps.
+        if a.zero_opt:
+            from vault_tpu.parallel.zero import zero_opt_shardings
+            out_sh = (jax.tree.map(lambda x: x.sharding, self.params),
+                      zero_opt_shardings(self.opt_state, self.mesh), None)
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2),
+                                       out_shardings=out_sh)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(eval_step)
 
     # ----------------------------------------------------------------- loop
@@ -430,7 +448,11 @@ class Trainer:
                   "step": np.asarray(0)}
         state = restore_checkpoint(path, target)
         self.params = self._place(state["params"])
-        self.opt_state = self._place(state["opt_state"])
+        if self.args.zero_opt:
+            from vault_tpu.parallel.zero import place_zero
+            self.opt_state = place_zero(state["opt_state"], self.mesh)
+        else:
+            self.opt_state = self._place(state["opt_state"])
         step = int(state["step"])
         logger.info("resumed from %s at step %d", path, step)
         return step
