@@ -273,7 +273,10 @@ def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
 # grads themselves (dW1 = y^T dh1, dW2 = a^T g, db1, db2) stay in XLA —
 # they are pure matmuls/reductions XLA already runs at the MXU floor.
 
-BWD_ROW_TILE = 128
+# 64 keeps the kernel's scoped VMEM ~13 MB (< the 16 MB limit): at 128 the
+# fp32 h1/a/da/dh1 intermediates put some surrounding-fusion layouts at
+# 19.5 MB and Mosaic refuses the stack allocation.
+BWD_ROW_TILE = 64
 
 
 def _gelu_grad(h):
