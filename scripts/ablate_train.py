@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("VAULT_MLP_BWD_TILE", "32")  # gnorm barrier pins
+# kernel outputs in VMEM; 64 would bust the scoped budget (pallas_mlp.py)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

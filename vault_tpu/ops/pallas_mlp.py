@@ -273,10 +273,13 @@ def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
 # grads themselves (dW1 = y^T dh1, dW2 = a^T g, db1, db2) stay in XLA —
 # they are pure matmuls/reductions XLA already runs at the MXU floor.
 
-# 64 keeps the kernel's scoped VMEM ~13 MB (< the 16 MB limit): at 128 the
-# fp32 h1/a/da/dh1 intermediates put some surrounding-fusion layouts at
-# 19.5 MB and Mosaic refuses the stack allocation.
-BWD_ROW_TILE = 64
+# Scoped-VMEM vs MXU-efficiency tradeoff: 64 rows measured fastest
+# (36.6 ms/train-step vs 39.3 at 32) and compiles in the real training
+# program; in rare fusion contexts XLA pins the kernel's big outputs in
+# VMEM (S(1)) and the 16 MB scoped budget overflows -- set
+# VAULT_MLP_BWD_TILE=32 there (scripts/ablate_train.py does).
+import os as _os
+BWD_ROW_TILE = int(_os.environ.get("VAULT_MLP_BWD_TILE", "64"))
 
 
 def _gelu_grad(h):
