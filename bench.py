@@ -13,14 +13,13 @@ the K_hi-vs-K_lo slope: (t_hi - t_lo) / (K_hi - K_lo) per step — pure
 device-side throughput, transfers and RTT cancelled.
 
 Both sides run the same geometry: bert-base-uncased tower (12L) + vilt-b32
-co-encoder (12L), batch of image-text pairs at the DEFAULT serving canvas
-(608x608, vault_tpu/data/image.py DEFAULT_CANVAS) with a realistic pixel
-mask: a landscape photo's 384x608 valid region — exactly what VaultProcessor
-emits for a typical 480x640 tweet image padded onto the default canvas.  The
-model's valid-first patch gather keeps the encoder sequence at the static
-patch budget regardless of canvas, so vs the previous 384x608 bench geometry
-only the (cheap) patch conv grows; benching the default path keeps the
-number honest (docs/BENCHMARKS.md "bench geometry" note).
+co-encoder (12L), a batch of landscape image-text pairs at the canvas the
+DEFAULT processor path produces for it — VaultProcessor's canvas="auto"
+buckets a landscape batch to (384, 608) (vault_tpu/data/image.py
+DEFAULT_CANVAS/bucket_canvas; the 608x608 worst case measured +13%,
+docs/BENCHMARKS.md "bench geometry" note).  The TPU side runs with the
+production default kernels (use_pallas="auto" -> fused QKV + fused
+LN->MLP->residual).
 """
 
 import json
@@ -36,17 +35,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 BATCH = 16
 SEQ = 40
-CANVAS = (608, 608)       # DEFAULT_CANVAS serving geometry
-VALID = (384, 608)        # landscape photo's valid region on that canvas
+# what VaultProcessor(canvas="auto") emits for a landscape batch: the image
+# fills the bucketed (384, 608) canvas, mask all-valid
+CANVAS = (384, 608)
 K_LO, K_HI = 2, 22
 TORCH_ITERS = 3
 TORCH_BATCH = 4
 
 
 def _pixel_mask(np_mod, batch, dtype=None):
-    m = np_mod.zeros((batch, *CANVAS), dtype or np_mod.int32)
-    m[:, :VALID[0], :VALID[1]] = 1
-    return m
+    return np_mod.ones((batch, *CANVAS), dtype or np_mod.int32)
 
 
 def bench_tpu():

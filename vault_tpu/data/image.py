@@ -36,9 +36,13 @@ IMAGE_STD = 0.5
 # static shape; any single image occupies at most 12x19=228 patches of it, and
 # the model's valid-first patch gather (vault_tpu/models/vilt.py visual_embed)
 # compresses those into the static num_patch_tokens budget, so the encoder
-# sequence length does not grow with the canvas — only the cheap patch conv
-# does.
-DEFAULT_CANVAS = (608, 608)
+# sequence length does not grow with the canvas — but pixel-space work does:
+# the square canvas measured +13% step time over (384, 608) on v5e
+# (docs/BENCHMARKS.md).  MAX_CANVAS remains the worst-case static shape;
+# the processor default is "auto" ({384,608}-bucketed per batch, <=4 jit
+# programs, orientation-homogeneous batches get the fast geometry).
+MAX_CANVAS = (608, 608)
+DEFAULT_CANVAS = "auto"
 
 # Reference safe-preprocess threshold (vault/models/vault/utils.py:38): crop
 # when aspect ratio exceeds (384/32)*(1333/800) so the /32 floor can't zero a
