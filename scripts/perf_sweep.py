@@ -73,6 +73,9 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    if os.environ.get("PERF_SWEEP_QUANT", "0") == "1":
+        from vault_tpu.ops.quantize import quantize_model_params
+        params = quantize_model_params(params)
 
     impls = os.environ.get("PERF_SWEEP_IMPLS", "0,1").split(",")
     batches = [int(b) for b in

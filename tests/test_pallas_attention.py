@@ -383,3 +383,59 @@ def test_model_grad_with_fusemlp_matches_xla():
     g_pal = loss("fuseqkv+fusemlp")
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_mlp_postln_matches_xla():
+    """Post-LN variant (BERT towers): parity + grads vs the XLA
+    composition, and the full BERT tower with fusemlp matches XLA."""
+    from vault_tpu.ops.pallas_mlp import (
+        _mlp_postln_xla,
+        fused_mlp_postln_block,
+        fused_mlp_postln_fwd,
+    )
+
+    rng = np.random.default_rng(15)
+    h, inner = 128, 256
+    for rows in (512, 20):
+        x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(h,)) * 0.1 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(inner,)) * 0.02, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(h,)) * 0.02, jnp.float32)
+        ref = _mlp_postln_xla({"scale": gamma, "bias": beta},
+                              {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                              x, 1e-12, "gelu")
+        out = fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
+                                   interpret=True, row_tile=256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    ln_p = {"scale": gamma, "bias": beta}
+    p_in, p_out = {"w": w1, "b": b1}, {"w": w2, "b": b2}
+
+    def loss(fn):
+        def f(ln_p, p_in, p_out, x):
+            return jnp.sum(fn(ln_p, p_in, p_out, x, 1e-12, "gelu") ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(ln_p, p_in, p_out, x)
+
+    for a, b in zip(jax.tree.leaves(loss(_mlp_postln_xla)),
+                    jax.tree.leaves(loss(fused_mlp_postln_block))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_bert_tower_with_fusemlp_matches_xla():
+    from vault_tpu.config import tiny_text_config
+    from vault_tpu.models.bert import bert_apply, init_bert
+
+    cfg = tiny_text_config()
+    params = init_bert(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(16)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+    mask = jnp.ones((2, 12), jnp.int32)
+    ref = bert_apply(params, cfg, input_ids=ids, attention_mask=mask,
+                     use_pallas=False)
+    out = bert_apply(params, cfg, input_ids=ids, attention_mask=mask,
+                     use_pallas="fusemlp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

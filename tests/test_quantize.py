@@ -49,3 +49,42 @@ def test_quantized_model_outputs_close_and_smaller():
     assert quantized_bytes(qparams) < 0.7 * quantized_bytes(params)
     # int8 tensors really are int8
     assert qparams["bert"]["layers"]["q"]["w_q"].dtype == jnp.int8
+
+
+def test_fused_mlp_q8_matches_xla_q8():
+    """Int8 fused MLP kernel vs the XLA dequant composition — quantized
+    serving must keep the fused-kernel path (ops/pallas_mlp.py q8 variant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vault_tpu.ops.pallas_mlp import _mlp_block_xla, fused_mlp_block
+    from vault_tpu.ops.quantize import quantize_linear_params
+
+    rng = np.random.default_rng(20)
+    h, inner, rows = 128, 256, 48
+    x = jnp.asarray(rng.normal(size=(2, rows // 2, h)), jnp.float32)
+    ln_p = {"scale": jnp.asarray(rng.normal(size=(h,)) * 0.1 + 1, jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)}
+    p_in = {"w": jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(inner,)) * 0.02, jnp.float32)}
+    p_out = {"w": jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32),
+             "b": jnp.asarray(rng.normal(size=(h,)) * 0.02, jnp.float32)}
+    q_in, q_out = quantize_linear_params(p_in), quantize_linear_params(p_out)
+
+    ref = _mlp_block_xla(ln_p, q_in, q_out, x, 1e-12, "gelu")
+    out = fused_mlp_block(ln_p, q_in, q_out, x, 1e-12, "gelu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+
+    # differentiable w.r.t. the fp leaves (scales/biases/LN); int8 leaves
+    # are non-differentiable constants
+    def loss(ln_p, q_in, q_out):
+        return jnp.sum(fused_mlp_block(ln_p, q_in, q_out, x) ** 2)
+
+    g = jax.grad(loss, argnums=(0,))(ln_p, q_in, q_out)[0]
+    def ref_loss(ln_p, q_in, q_out):
+        return jnp.sum(_mlp_block_xla(ln_p, q_in, q_out, x, 1e-12, "gelu") ** 2)
+    g_ref = jax.grad(ref_loss, argnums=(0,))(ln_p, q_in, q_out)[0]
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)

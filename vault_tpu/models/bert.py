@@ -19,7 +19,7 @@ from vault_tpu.config import TextTowerConfig
 from vault_tpu.ops.attention import (
     attend,
     merge_heads,
-    parse_attn_impl,
+    parse_impl,
     project_qkv,
     split_heads,
 )
@@ -119,7 +119,7 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
         r_attn, r_attn_out, r_mlp = jax.random.split(rng, 3)
     else:
         r_attn = r_attn_out = r_mlp = None
-    fuse_qkv, _ = parse_attn_impl(use_pallas)
+    fuse_qkv, _, fuse_mlp, _ = parse_impl(use_pallas)
     q, k, v = project_qkv(lp, x, cfg.num_attention_heads, fuse_qkv)
     ctx = merge_heads(attend(q, k, v, bias, r_attn,
                              cfg.attention_probs_dropout_prob, deterministic,
@@ -128,6 +128,12 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
     attn = dropout(r_attn_out, attn, cfg.hidden_dropout_prob, deterministic)
     x = layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps)
 
+    if fuse_mlp and (deterministic or cfg.hidden_dropout_prob == 0.0):
+        from vault_tpu.ops.pallas_mlp import fused_mlp_postln_block
+
+        return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"],
+                                      lp["mlp_out"], x, cfg.layer_norm_eps,
+                                      cfg.hidden_act)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], x))
     mlp = linear(lp["mlp_out"], mlp)
     mlp = dropout(r_mlp, mlp, cfg.hidden_dropout_prob, deterministic)

@@ -153,12 +153,18 @@ _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 def fused_mlp_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                     act: str = "gelu") -> jax.Array:
-    """Drop-in for the pre-LN MLP half of a ViLT encoder layer.  Quantized
-    (int8) weights use the XLA path."""
-    if "w" not in p_in or "w" not in p_out:
-        return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act)
-    return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"], p_in["b"],
-                      p_out["w"], p_out["b"], x, eps, act)
+    """Drop-in for the pre-LN MLP half of a ViLT encoder layer.  Fp weights
+    and int8 weight-only quantized weights (ops/quantize.py {w_q, w_scale})
+    each have a fused kernel; anything else falls back to XLA."""
+    if "w" in p_in and "w" in p_out:
+        return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"], p_in["b"],
+                          p_out["w"], p_out["b"], x, eps, act)
+    if "w_q" in p_in and "w_q" in p_out:
+        return _fused_mlp_q8(ln_p["scale"], ln_p["bias"],
+                             p_in["w_q"], p_in["w_scale"], p_in["b"],
+                             p_out["w_q"], p_out["w_scale"], p_out["b"],
+                             x, eps, act)
+    return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act)
 
 
 # ---------------------------------------------------------------------------
@@ -392,3 +398,190 @@ def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
     return (dgamma.reshape(-1).astype(gamma.dtype),
             dbeta.reshape(-1).astype(beta.dtype),
             dw1, db1, dw2, db2, dx.reshape(shape))
+
+
+# ---------------------------------------------------------------------------
+# Int8 weight-only variant of the fused MLP block
+# ---------------------------------------------------------------------------
+#
+# ops/quantize.py stores encoder linears as {w_q int8, w_scale (1, out)};
+# without this kernel a quantized model would silently fall back to the XLA
+# composition and LOSE the fused-kernel speed (8.78 vs 7.63 ms at batch 16).
+# Dequantization happens in-kernel (int8 weights resident in VMEM at half
+# the bytes; the per-program dequant is ~2.4M VPU multiplies against a
+# 19 GFLOP matmul).
+
+def _mlp_kernel_q8(x_ref, g_ref, bta_ref, w1q_ref, s1_ref, b1_ref,
+                   w2q_ref, s2_ref, b2_ref, out_ref, *, eps, act):
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * g_ref[0] + bta_ref[0]).astype(x.dtype)
+    w1 = (w1q_ref[...].astype(jnp.float32) * s1_ref[...]).astype(x.dtype)
+    h = jnp.dot(y, w1, preferred_element_type=jnp.float32) + b1_ref[0]
+    h = _kernel_act(act)(h).astype(x.dtype)
+    w2 = (w2q_ref[...].astype(jnp.float32) * s2_ref[...]).astype(x.dtype)
+    o = jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2_ref[0]
+    out_ref[...] = o.astype(out_ref.dtype) + x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "act", "interpret", "row_tile"))
+def fused_mlp_block_fwd_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                           eps: float = 1e-12, act: str = "gelu",
+                           interpret: bool | None = None,
+                           row_tile: int = ROW_TILE) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = row_tile if rows % row_tile == 0 else rows
+    row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    s1_2, s2_2 = s1.reshape(1, -1), s2.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel_q8, eps=eps, act=act),
+        grid=(rows // tile,),
+        in_specs=[row_spec, full(g2), full(bta2), full(w1q), full(s1_2),
+                  full(b1_2), full(w2q), full(s2_2), full(b2_2)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * h_dim * w1q.shape[1],
+            bytes_accessed=(2 * rows * h_dim * x.dtype.itemsize
+                            + w1q.size + w2q.size),
+            transcendentals=rows * w1q.shape[1],
+        ),
+    )(x2, g2, bta2, w1q, s1_2, b1_2, w2q, s2_2, b2_2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused_mlp_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act):
+    return fused_mlp_block_fwd_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                                  eps, act)
+
+
+def _fused_mlp_q8_fwd(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act):
+    return (_fused_mlp_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act),
+            (gamma, beta, w1q, s1, b1, w2q, s2, b2, x))
+
+
+def _fused_mlp_q8_bwd(eps, act, residuals, g):
+    gamma, beta, w1q, s1, b1, w2q, s2, b2, x = residuals
+
+    def f(gamma, beta, s1, b1, s2, b2, x):
+        return _mlp_block_xla({"scale": gamma, "bias": beta},
+                              {"w_q": w1q, "w_scale": s1, "b": b1},
+                              {"w_q": w2q, "w_scale": s2, "b": b2},
+                              x, eps, act)
+
+    _, vjp = jax.vjp(f, gamma, beta, s1, b1, s2, b2, x)
+    dgamma, dbeta, ds1, db1, ds2, db2, dx = vjp(g)
+    return dgamma, dbeta, None, ds1, db1, None, ds2, db2, dx
+
+
+_fused_mlp_q8.defvjp(_fused_mlp_q8_fwd, _fused_mlp_q8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Post-LN variant (BERT-style towers): out = LN(x + MLP(x))
+# ---------------------------------------------------------------------------
+
+def _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act):
+    """The XLA composition (bert.py _encoder_layer MLP half: post-LN,
+    modeling_bert.py BertOutput)."""
+    mlp = linear(p_out, act_fn(act)(linear(p_in, x)))
+    return layer_norm(ln_p, x + mlp, eps)
+
+
+def _mlp_postln_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, out_ref, *, eps, act):
+    x = x_ref[...]                                   # (R, H)
+    h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h = _kernel_act(act)(h + b1_ref[0]).astype(x.dtype)
+    o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    s = x.astype(jnp.float32) + o + b2_ref[0]
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
+    y = (s - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (y * g_ref[0] + bta_ref[0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "act", "interpret", "row_tile"))
+def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
+                         eps: float = 1e-12, act: str = "gelu",
+                         interpret: bool | None = None,
+                         row_tile: int = ROW_TILE) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = row_tile if rows % row_tile == 0 else rows
+    row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    out = pl.pallas_call(
+        functools.partial(_mlp_postln_kernel, eps=eps, act=act),
+        grid=(rows // tile,),
+        in_specs=[row_spec, full(g2), full(bta2), full(w1), full(b1_2),
+                  full(w2), full(b2_2)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * h_dim * w1.shape[1],
+            bytes_accessed=(2 * rows * h_dim * x.dtype.itemsize
+                            + w1.size * w1.dtype.itemsize
+                            + w2.size * w2.dtype.itemsize),
+            transcendentals=rows * w1.shape[1],
+        ),
+    )(x2, g2, bta2, w1, b1_2, w2, b2_2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp_postln(gamma, beta, w1, b1, w2, b2, x, eps, act):
+    return fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act)
+
+
+def _fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act):
+    return (_fused_mlp_postln(gamma, beta, w1, b1, w2, b2, x, eps, act),
+            (gamma, beta, w1, b1, w2, b2, x))
+
+
+def _fused_mlp_postln_bwd(eps, act, residuals, g):
+    gamma, beta, w1, b1, w2, b2, x = residuals
+
+    def f(gamma, beta, w1, b1, w2, b2, x):
+        return _mlp_postln_xla({"scale": gamma, "bias": beta},
+                               {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                               x, eps, act)
+
+    _, vjp = jax.vjp(f, gamma, beta, w1, b1, w2, b2, x)
+    return vjp(g)
+
+
+_fused_mlp_postln.defvjp(_fused_mlp_postln_fwd, _fused_mlp_postln_bwd)
+
+
+def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
+                           act: str = "gelu") -> jax.Array:
+    """Drop-in for the post-LN MLP half of a BERT encoder layer."""
+    if "w" not in p_in or "w" not in p_out:
+        return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act)
+    return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
+                             p_in["b"], p_out["w"], p_out["b"], x, eps, act)
