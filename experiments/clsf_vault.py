@@ -46,6 +46,11 @@ VAULT_MODEL_ARGS = dict(
     max_length=dict(default=40, type=int, help="max text tokens (<=40)"),
     image_augmentation=dict(action="store_true",
                             help="random-crop augmentation at fetch"),
+    orientation_buckets=dict(action="store_true",
+                             help="draw canvas-homogeneous batches so the "
+                                  "auto canvas gives orientation-pure "
+                                  "batches the fast (384, 608) geometry "
+                                  "(shuffle stays uniform within buckets)"),
     debug_tiny=dict(action="store_true",
                     help="debug: tiny model geometry + tiny image canvas"),
     entity_cache=dict(type=str,
@@ -193,7 +198,8 @@ def main():
     if args.task == "Twitter201X":
         mk = lambda kinds, augment=False: Twitter201XDataset(
             args.dir, kinds, processor, image_dir=args.image_dir,
-            max_length=args.max_length, augment=augment)
+            max_length=args.max_length, augment=augment,
+            orientation_buckets=args.orientation_buckets)
         train_ds = mk(args.train_split, augment=args.image_augmentation)
         dev_ds = mk(args.dev_split) if args.dev_split else None
         test_ds = mk(args.test_split) if args.test_split else None
@@ -212,7 +218,8 @@ def main():
                 ids, texts, fns, labels, processor,
                 name=f"bloomberg-twitter-text-image({split})",
                 max_length=args.max_length, text_preprocessor=text_pre,
-                augment=args.image_augmentation)
+                augment=args.image_augmentation,
+                orientation_buckets=args.orientation_buckets)
         train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
         n_classes = len(args.tasks)
         trainer_cls = BloombergTrainer
@@ -226,7 +233,8 @@ def main():
                 ids, texts, fns, labels, processor,
                 name=f"{os.path.basename(args.root_dir)}({split})",
                 max_length=args.max_length, text_preprocessor=text_pre,
-                augment=args.image_augmentation)
+                augment=args.image_augmentation,
+                orientation_buckets=args.orientation_buckets)
         train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
         n_classes = 3 if args.preprocessed else 6
         trainer_cls = MvsaTrainer

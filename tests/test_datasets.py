@@ -279,3 +279,73 @@ def test_multi_text_per_image_flattening(tmp_path):
     assert ds.labels.tolist() == [0, 0, 1]
     (f, l), = list(ds.batches(4))
     assert f["pixel_values"].shape[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# Orientation-bucketed batch sampling
+# ---------------------------------------------------------------------------
+
+def test_canvas_key_geometry():
+    from vault_tpu.data.image import canvas_key
+
+    assert canvas_key(400, 800) == (384, 608)   # landscape
+    assert canvas_key(800, 400) == (608, 384)   # portrait
+    assert canvas_key(500, 500) == (384, 384)   # square
+    # extreme aspect ratio goes through the safe-crop clamp first
+    assert max(canvas_key(100, 10000)) <= 608
+
+
+def test_grouped_batch_indices_homogeneous_and_complete():
+    from vault_tpu.data.loader import grouped_batch_indices
+
+    keys = ["a", "b", "a", "a", "b", "c", "a", "b"]
+    rng = np.random.default_rng(0)
+    batches = list(grouped_batch_indices(keys, 2, shuffle=True, rng=rng))
+    seen = []
+    for b in batches:
+        assert len({keys[i] for i in b}) == 1   # homogeneous
+        seen.extend(b.tolist())
+    assert sorted(seen) == list(range(len(keys)))  # exact cover
+    # deterministic under the same rng seed
+    b2 = list(grouped_batch_indices(keys, 2, shuffle=True,
+                                    rng=np.random.default_rng(0)))
+    assert [x.tolist() for x in batches] == [x.tolist() for x in b2]
+    # unshuffled: dataset order within groups
+    b3 = list(grouped_batch_indices(keys, 2))
+    assert b3[0].tolist() == [0, 2]
+
+
+def test_orientation_bucketed_dataset_batches(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    paths, texts, ids = [], [], []
+    for i in range(4):  # 4 landscape + 4 portrait
+        p = str(d / f"l{i}.jpg"); _img(p, size=(80, 50)); paths.append(p)
+        p = str(d / f"p{i}.jpg"); _img(p, size=(50, 80)); paths.append(p)
+        texts += ["the quick fox", "a good dog"]
+        ids += [f"l{i}", f"p{i}"]
+    labels = np.arange(8, dtype=np.int32)
+    proc = VaultProcessor(_tok(), max_length=8, canvas="auto")
+    ds = VisionLanguageDataset(ids, texts, paths, labels, proc,
+                               orientation_buckets=True)
+    got = []
+    for feats, lab in ds.batches(2, shuffle=True,
+                                 rng=np.random.default_rng(1)):
+        h, w = feats["pixel_values"].shape[2:]
+        assert (h, w) in ((384, 608), (608, 384))  # never the 608x608 mix
+        got.extend(lab.tolist())
+    assert sorted(got) == list(range(8))
+    # lazy mode computes keys from file headers without decoding
+    ds_lazy = VisionLanguageDataset(ids, texts, paths, labels, proc,
+                                    lazy=True, orientation_buckets=True)
+    assert ds_lazy._canvas_keys() == ds._canvas_keys()
+
+
+def test_twitter_dataset_orientation_buckets(twitter_dir):
+    ds = Twitter201XDataset(twitter_dir, "train", _proc(), max_length=16,
+                            orientation_buckets=True)
+    got = []
+    for feats, lab in ds.batches(2, shuffle=True,
+                                 rng=np.random.default_rng(0)):
+        got.extend(lab.tolist())
+    assert sorted(got) == [0, 1, 2]

@@ -50,6 +50,22 @@ def load_image_with_fallback(image_dir: str, basename: str) -> Tuple[np.ndarray,
         return load_image_file(os.path.join(image_dir, FAIL_IMAGE_BN)), True
 
 
+def _index_batches(n: int, batch_size: int, shuffle: bool,
+                   rng: np.random.Generator, keys=None):
+    """Batch index stream: uniform shuffle, or canvas-grouped when ``keys``
+    is given (orientation-bucketed sampling, data/loader.py)."""
+    if keys is not None:
+        from vault_tpu.data.loader import grouped_batch_indices
+
+        yield from grouped_batch_indices(keys, batch_size, shuffle, rng)
+        return
+    idx = np.arange(n)
+    if shuffle:
+        rng.shuffle(idx)
+    for start in range(0, n, batch_size):
+        yield idx[start:start + batch_size]
+
+
 # ---------------------------------------------------------------------------
 # Twitter-201X TMSC
 # ---------------------------------------------------------------------------
@@ -87,7 +103,8 @@ class Twitter201XDataset:
                  image_dir: Optional[str] = None, max_length: int = 40,
                  label_mapping: Optional[Dict[str, int]] = None,
                  augment: bool = False, lazy_images: bool = False,
-                 text_preprocessor: Optional[Callable] = None):
+                 text_preprocessor: Optional[Callable] = None,
+                 orientation_buckets: bool = False):
         if isinstance(kinds, str):
             kinds = [kinds]
         self.kinds = list(kinds)
@@ -98,6 +115,7 @@ class Twitter201XDataset:
         self.max_length = max_length
         assert max_length <= 40, "ViLT text constraint (vault/models/vault/dataset.py:188)"
         self.augment = augment
+        self.orientation_buckets = orientation_buckets
         self.examples = read_twitter201x(dir, kinds)
         labels = sorted({e.label for e in self.examples})
         self.label_mapping = label_mapping or {l: i for i, l in enumerate(labels)}
@@ -138,15 +156,33 @@ class Twitter201XDataset:
         self._err_count += int(err)
         return img
 
+    def _canvas_keys(self):
+        if getattr(self, "_canvas_keys_cache", None) is None:
+            from vault_tpu.data.image import canvas_key
+
+            if self._images is not None:
+                sizes = [im.shape[:2] for im in self._images]
+            else:
+                from vault_tpu.data.loader import peek_image_size
+
+                sizes = []
+                for e in self.examples:
+                    try:
+                        sizes.append(peek_image_size(
+                            os.path.join(self.image_dir, e.image_bn)))
+                    except Exception:
+                        sizes.append(peek_image_size(
+                            os.path.join(self.image_dir, FAIL_IMAGE_BN)))
+            self._canvas_keys_cache = [canvas_key(h, w) for h, w in sizes]
+        return self._canvas_keys_cache
+
     def batches(self, batch_size: int, shuffle: bool = False,
                 rng: Optional[np.random.Generator] = None):
-        idx = np.arange(self.num_examples)
         rng = rng or np.random.default_rng()
         train = shuffle
-        if shuffle:
-            rng.shuffle(idx)
-        for start in range(0, self.num_examples, batch_size):
-            sel = idx[start:start + batch_size]
+        keys = self._canvas_keys() if self.orientation_buckets else None
+        for sel in _index_batches(self.num_examples, batch_size, shuffle,
+                                  rng, keys):
             feats = {k: v[sel] for k, v in self._text_enc.items()}
             images = [self._raw_image(i) for i in sel]
             aug = rng if (train and self.augment) else None
@@ -307,11 +343,13 @@ class VisionLanguageDataset:
     def __init__(self, ids, texts, image_paths, labels, processor,
                  name: str = "vl", max_length: int = 40, lazy: bool = False,
                  augment: bool = False,
-                 text_preprocessor: Optional[Callable] = None):
+                 text_preprocessor: Optional[Callable] = None,
+                 orientation_buckets: bool = False):
         pre = text_preprocessor or (lambda x: x)
         self.name = name
         self.processor = processor
         self.augment = augment
+        self.orientation_buckets = orientation_buckets
         # multi-text-per-image flattening (the reference's effective_inds,
         # vault/vl_utils/dataset.py:136-141): a list entry per image may be a
         # list of texts; each text becomes an example re-using its image.
@@ -346,15 +384,26 @@ class VisionLanguageDataset:
             return self._images[i]
         return load_image_file(self.image_paths[i])
 
+    def _canvas_keys(self):
+        if getattr(self, "_canvas_keys_cache", None) is None:
+            from vault_tpu.data.image import canvas_key
+
+            if self._images is not None:
+                sizes = [im.shape[:2] for im in self._images]
+            else:
+                from vault_tpu.data.loader import peek_image_size
+
+                sizes = [peek_image_size(p) for p in self.image_paths]
+            self._canvas_keys_cache = [canvas_key(h, w) for h, w in sizes]
+        return self._canvas_keys_cache
+
     def batches(self, batch_size: int, shuffle: bool = False,
                 rng: Optional[np.random.Generator] = None):
-        idx = np.arange(self.num_examples)
         rng = rng or np.random.default_rng()
         train = shuffle
-        if shuffle:
-            rng.shuffle(idx)
-        for start in range(0, self.num_examples, batch_size):
-            sel = idx[start:start + batch_size]
+        keys = self._canvas_keys() if self.orientation_buckets else None
+        for sel in _index_batches(self.num_examples, batch_size, shuffle,
+                                  rng, keys):
             feats = {k: v[sel] for k, v in self._text_enc.items()}
             images = [self._raw_image(i) for i in sel]
             aug = rng if (train and self.augment) else None

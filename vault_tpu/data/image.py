@@ -174,6 +174,35 @@ def bucket_canvas(images: Sequence[np.ndarray],
     return up(max_h), up(max_w)
 
 
+def canvas_key(height: int, width: int,
+               buckets: Tuple[int, ...] = (SHORTER, 608),
+               shorter: int = SHORTER,
+               longer: int = LONGER) -> Tuple[int, int]:
+    """Bucketed canvas a raw (height, width) image will occupy after the
+    safe-crop + ViltProcessor resize — the grouping key for
+    orientation-bucketed batch sampling (loader.py grouped_batch_indices).
+
+    Batches homogeneous in this key always land on their own canvas under
+    ``bucket_canvas``, so a landscape-only batch gets the (384, 608)
+    geometry that measured 13% faster than the mixed-orientation 608x608
+    worst case (docs/BENCHMARKS.md)."""
+    if max(width / height, height / width) > MAX_ASPECT_RATIO:
+        # safe_aspect_crop clamps the longer side first
+        if height > width:
+            height = int(width * MAX_ASPECT_RATIO)
+        else:
+            width = int(height * MAX_ASPECT_RATIO)
+    th, tw = target_size(height, width, shorter, longer)
+
+    def up(v):
+        for b in buckets:
+            if v <= b:
+                return b
+        return v
+
+    return up(th), up(tw)
+
+
 def pad_batch(images: Sequence[np.ndarray],
               canvas: Optional[Tuple[int, int]] = None):
     """Collate (C, H_i, W_i) images: zero-pad to the batch max (reference

@@ -51,6 +51,53 @@ class InMemoryDataset:
             yield feats, labels
 
 
+def grouped_batch_indices(keys: Sequence, batch_size: int,
+                          shuffle: bool = False,
+                          rng: Optional[np.random.Generator] = None
+                          ) -> Iterator[np.ndarray]:
+    """Yield index batches drawn within groups of equal ``keys``.
+
+    Used for orientation-bucketed sampling: with keys =
+    image.canvas_key(h, w), every batch is canvas-homogeneous, so the
+    processor's auto-canvas mode gives orientation-pure batches the fast
+    (384, 608) geometry instead of the mixed-batch 608x608 worst case
+    (+13% step time, docs/BENCHMARKS.md).  Shuffling stays uniform *within*
+    each group and the batch order is shuffled across groups; at most one
+    partial batch per group.  With shuffle=False the groups keep dataset
+    order (deterministic eval)."""
+    keys = list(keys)
+    groups: Dict = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+    batches = []
+    for k in sorted(groups, key=repr):
+        g = np.asarray(groups[k])
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(g)
+        for start in range(0, len(g), batch_size):
+            batches.append(g[start:start + batch_size])
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(batches)
+    yield from batches
+
+
+def image_canvas_keys(shapes_hw: Sequence[Tuple[int, int]]) -> list:
+    """canvas_key over raw (H, W) image sizes (see data/image.py)."""
+    from vault_tpu.data.image import canvas_key
+
+    return [canvas_key(h, w) for h, w in shapes_hw]
+
+
+def peek_image_size(path: str) -> Tuple[int, int]:
+    """(H, W) from the file header without decoding pixels — lets lazy
+    datasets compute orientation keys cheaply."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    return h, w
+
+
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetch: overlaps host-side batch assembly (image
     decode/resize, tokenization) with device compute — the role the

@@ -565,6 +565,10 @@ def _fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act):
 
 def _fused_mlp_postln_bwd(eps, act, residuals, g):
     gamma, beta, w1, b1, w2, b2, x = residuals
+    if act == "gelu":
+        # fused backward kernel (recompute-in-VMEM; fused_mlp_postln_bwd)
+        return fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+                                          eps)
 
     def f(gamma, beta, w1, b1, w2, b2, x):
         return _mlp_postln_xla({"scale": gamma, "bias": beta},
@@ -585,3 +589,121 @@ def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
         return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act)
     return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
                              p_in["b"], p_out["w"], p_out["b"], x, eps, act)
+
+
+# ---------------------------------------------------------------------------
+# Fused post-LN MLP-block BACKWARD kernel (BERT towers)
+# ---------------------------------------------------------------------------
+#
+# Same recompute-in-VMEM scheme as _mlp_bwd_kernel, adapted to the post-LN
+# dataflow out = LN(x + MLP(x)): the LN backward runs FIRST (producing ds,
+# the gradient at the residual sum), then splits into the residual path and
+# the MLP chain.  Emits per row tile:
+#   dx          = ds + (ds @ W2^T * gelu'(h1)) @ W1^T
+#   dh1, a, ds  — the minimal activations the weight-grad matmuls need
+# (dW1 = x^T dh1 needs only x, which is the kernel INPUT — one emitted
+# tensor fewer than the pre-LN kernel, which must export the normalized y.)
+
+def _mlp_postln_bwd_kernel(x_ref, g_ref, gamma_ref, b1_ref, b2_ref, w1_ref,
+                           w2_ref, dx_ref, dh1_ref, a_ref, ds_ref,
+                           dgamma_ref, dbeta_ref, *, eps):
+    x = x_ref[...]                                     # (R, H)
+    g = g_ref[...].astype(jnp.float32)
+    gamma = gamma_ref[0]
+    # ---- recompute the forward chain in VMEM
+    h1 = jnp.dot(x, w1_ref[...],
+                 preferred_element_type=jnp.float32) + b1_ref[0]
+    a = 0.5 * h1 * (1.0 + _erf_approx(h1 * (2.0 ** -0.5)))
+    ac = a.astype(x.dtype)
+    o = jnp.dot(ac, w2_ref[...], preferred_element_type=jnp.float32)
+    s = x.astype(jnp.float32) + o + b2_ref[0]
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    shat = (s - mean) * rstd
+    # ---- backward: LN first, then the MLP chain
+    dshat = g * gamma
+    m1 = jnp.mean(dshat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dshat * shat, axis=-1, keepdims=True)
+    ds = (dshat - m1 - shat * m2) * rstd
+    dsc = ds.astype(x.dtype)
+    da = jax.lax.dot_general(dsc, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # ds @ W2^T
+    dh1 = da * _gelu_grad(h1)
+    dh1c = dh1.astype(x.dtype)
+    dxm = jax.lax.dot_general(dh1c, w1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # dh1 @ W1^T
+    dx_ref[...] = (ds + dxm).astype(dx_ref.dtype)      # + residual path
+    dh1_ref[...] = dh1c
+    a_ref[...] = ac
+    ds_ref[...] = dsc
+    # ---- LN param grads accumulate across the (sequential) grid
+    part_g = jnp.sum(g * shat, axis=0, keepdims=True)
+    part_b = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+
+    dgamma_ref[...] += part_g
+    dbeta_ref[...] += part_b
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
+def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+                               eps: float = 1e-12,
+                               interpret: bool | None = None,
+                               row_tile: int = BWD_ROW_TILE):
+    """Gradients of ``LN(x + gelu(x@W1+b1)@W2+b2)`` w.r.t. every input.
+    Returns (dgamma, dbeta, dw1, db1, dw2, db2, dx)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    inner = w1.shape[1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    g2 = g.reshape(rows, h_dim)
+    tile = row_tile if rows % row_tile == 0 else rows
+    row_h = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    row_i = pl.BlockSpec((tile, inner), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    gam2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, b1, b2))
+    dx, dh1, a, ds, dgamma, dbeta = pl.pallas_call(
+        functools.partial(_mlp_postln_bwd_kernel, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[row_h, row_h, full(gam2), full(b1_2), full(b2_2),
+                  full(w1), full(w2)],
+        out_specs=[row_h, row_i, row_i, row_h, acc, acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+            jax.ShapeDtypeStruct((rows, inner), x.dtype),
+            jax.ShapeDtypeStruct((rows, inner), x.dtype),
+            jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+            jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * rows * h_dim * inner,
+            bytes_accessed=(rows * (4 * h_dim + 2 * inner) * x.dtype.itemsize
+                            + (w1.size + w2.size) * w1.dtype.itemsize),
+            transcendentals=2 * rows * inner,
+        ),
+    )(x2, g2, gam2, b1_2, b2_2, w1, w2)
+    # weight grads: plain matmuls at the MXU floor (XLA)
+    dw1 = jnp.matmul(x2.T, dh1, preferred_element_type=jnp.float32
+                     ).astype(w1.dtype)
+    db1 = jnp.sum(dh1.astype(jnp.float32), axis=0).astype(b1.dtype)
+    dw2 = jnp.matmul(a.T, ds, preferred_element_type=jnp.float32
+                     ).astype(w2.dtype)
+    db2 = jnp.sum(ds.astype(jnp.float32), axis=0).astype(b2.dtype)
+    return (dgamma.reshape(-1).astype(gamma.dtype),
+            dbeta.reshape(-1).astype(beta.dtype),
+            dw1, db1, dw2, db2, dx.reshape(shape))
