@@ -37,7 +37,20 @@ VAULT_MODEL_ARGS = dict(
     bert_model_name_or_path=dict(type=str,
                                  help="LM tower checkpoint, if any"),
     vilt_dropout_prob=dict(default=0.1, type=float,
-                           help="dropout in ViLT layers"),
+                           help="classifier-head dropout (the reference flag "
+                                "of the same name: its ViLT-internals "
+                                "override was a typo'd no-op, so 0.1 only "
+                                "ever reached the head — the published "
+                                "recipe)"),
+    vilt_internal_dropout_prob=dict(default=0.0, type=float,
+                                    help="hidden/attention dropout inside "
+                                         "ViLT encoder layers — the "
+                                         "reference's *intended* override, "
+                                         "actually wired here (its effective "
+                                         "value was always 0.0; nonzero also "
+                                         "disables the fused MLP kernels in "
+                                         "training, dropout sits inside the "
+                                         "fusion boundary)"),
     freeze_lm=dict(action="store_true", help="freeze the language tower"),
     use_vilt_position_embeddings=dict(action="store_true",
                                       help="keep ViLT's text position embeds"),
@@ -164,13 +177,15 @@ def main():
     else:
         vilt_cfg = vilt_config_from_name(args.vilt_model_name_or_path)
         text_cfg = text_config_from_name(bert_name) if bert_name else None
-    # the reference's --vilt_dropout_prob INTENT (its own override is a typo'd
-    # no-op, vault/models/vault/model.py:71-75): configurable ViLT layer
-    # dropout (pretrained ViLT defaults are 0.0)
+    # ViLT-internal dropout: the reference's --vilt_dropout_prob INTENT (its
+    # own override is a typo'd no-op, vault/models/vault/model.py:71-75, so
+    # its effective value was always the pretrained 0.0 — which is also our
+    # default, keeping published-recipe parity AND the fused training
+    # kernels).  --vilt_internal_dropout_prob wires the fixed intent.
     import dataclasses
     vilt_cfg = dataclasses.replace(
-        vilt_cfg, hidden_dropout_prob=args.vilt_dropout_prob,
-        attention_probs_dropout_prob=args.vilt_dropout_prob)
+        vilt_cfg, hidden_dropout_prob=args.vilt_internal_dropout_prob,
+        attention_probs_dropout_prob=args.vilt_internal_dropout_prob)
     cfg = VaultConfig(vilt=vilt_cfg, text_tower=text_cfg,
                       use_vilt_position_embeddings=args.use_vilt_position_embeddings,
                       freeze_lm=args.freeze_lm)

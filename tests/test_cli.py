@@ -151,6 +151,7 @@ def test_mvsa_cli_preprocessed_and_freeze_lm(tmp_path):
     res = _run([sys.executable, "experiments/clsf_vault.py", "MVSA",
                 "--root_dir", root, "--preprocessed",
                 "--bert_model_name_or_path", "bert-base-uncased",
+                "--vilt_internal_dropout_prob", "0.1",  # the wired intent
                 "--freeze_lm", "--debug_tiny", "--num_train_epochs", "1",
                 "--train_batch_size", "4", "--eval_batch_size", "4",
                 "--experiment_root", logs])
