@@ -501,3 +501,115 @@ def test_bert_tower_grad_with_fusemlp_matches_xla():
     g_pal = loss("fusemlp")
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_bert_tower_dropout_stream_parity_fused_vs_xla():
+    """With hidden dropout ON, the fused post-LN kernel takes the dropout
+    mask as an operand drawn with the SAME bernoulli call as the XLA path —
+    outputs and gradients must match under the same rng."""
+    import dataclasses
+
+    from vault_tpu.config import tiny_text_config
+    from vault_tpu.models.bert import bert_apply, init_bert
+
+    cfg = dataclasses.replace(tiny_text_config(), hidden_dropout_prob=0.3,
+                              attention_probs_dropout_prob=0.0)
+    params = init_bert(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(18)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10)))
+    mask = jnp.ones((2, 10), jnp.int64)
+    key = jax.random.PRNGKey(7)
+
+    def run(impl):
+        return bert_apply(params, cfg, ids, mask, deterministic=False,
+                          rng=key, use_pallas=impl)
+
+    np.testing.assert_allclose(np.asarray(run("fusemlp")),
+                               np.asarray(run(False)), atol=2e-5)
+
+    def loss(impl):
+        def f(p):
+            out = bert_apply(p, cfg, ids, mask, deterministic=False, rng=key,
+                             use_pallas=impl)
+            return jnp.sum(out ** 2)
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree.leaves(loss(False)),
+                    jax.tree.leaves(loss("fusemlp"))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_mlp_postln_masked_bwd_kernel():
+    """Masked variant of the post-LN backward kernel vs jax.vjp of the
+    masked XLA composition."""
+    from vault_tpu.ops.pallas_mlp import (
+        _mlp_postln_xla,
+        fused_mlp_postln_block_bwd,
+    )
+
+    rng = np.random.default_rng(19)
+    h, inner, rows = 128, 256, 256
+    x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(h,)) * 0.2 + 1, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(inner,)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(h,)) * 0.02, jnp.float32)
+    m = jnp.asarray(rng.integers(0, 2, (rows, h)), jnp.float32) / 0.5
+
+    def f(gamma, beta, w1, b1, w2, b2, x):
+        return _mlp_postln_xla({"scale": gamma, "bias": beta},
+                               {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                               x, 1e-12, "gelu", m)
+
+    _, vjp = jax.vjp(f, gamma, beta, w1, b1, w2, b2, x)
+    ref = vjp(g)
+    out = fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m,
+                                     eps=1e-12, interpret=True, row_tile=128)
+    names = ("dgamma", "dbeta", "dw1", "db1", "dw2", "db2", "dx")
+    for name, a, b in zip(names, ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-4, err_msg=name)
+
+
+def test_vilt_dropout_stream_parity_fused_vs_xla():
+    """Pre-LN (ViLT) counterpart of the masked fused block: with hidden
+    dropout ON, fused and XLA paths match under the same rng, values and
+    gradients."""
+    import dataclasses
+
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = dataclasses.replace(tiny_vilt_config(), hidden_dropout_prob=0.25,
+                              attention_probs_dropout_prob=0.0)
+    params = init_vilt(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(20)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10))),
+        attention_mask=jnp.ones((2, 10), jnp.int64),
+        pixel_values=jnp.asarray(rng.normal(size=(2, 3, 64, 64)),
+                                 jnp.float32),
+        pixel_mask=jnp.ones((2, 64, 64), jnp.int64))
+    key = jax.random.PRNGKey(9)
+
+    def run(impl):
+        return vilt_apply(params, cfg, **batch, deterministic=False, rng=key,
+                          use_pallas=impl)
+
+    np.testing.assert_allclose(np.asarray(run("fusemlp").pooler_output),
+                               np.asarray(run(False).pooler_output),
+                               atol=2e-5)
+
+    def loss(impl):
+        def f(p):
+            out = vilt_apply(p, cfg, **batch, deterministic=False, rng=key,
+                             use_pallas=impl)
+            return jnp.sum(out.pooler_output ** 2)
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree.leaves(loss(False)),
+                    jax.tree.leaves(loss("fusemlp"))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

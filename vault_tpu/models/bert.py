@@ -128,12 +128,19 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
     attn = dropout(r_attn_out, attn, cfg.hidden_dropout_prob, deterministic)
     x = layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps)
 
-    if fuse_mlp and (deterministic or cfg.hidden_dropout_prob == 0.0):
+    if fuse_mlp:
+        from vault_tpu.ops.nn import dropout_mask
         from vault_tpu.ops.pallas_mlp import fused_mlp_postln_block
 
+        # training-mode dropout sits inside the block (BertOutput); drawing
+        # the pre-scaled mask here with the same bernoulli call keeps the
+        # fused path stream-identical to the XLA composition below
+        mask = None
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
         return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"],
                                       lp["mlp_out"], x, cfg.layer_norm_eps,
-                                      cfg.hidden_act)
+                                      cfg.hidden_act, drop_mask=mask)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], x))
     mlp = linear(lp["mlp_out"], mlp)
     mlp = dropout(r_mlp, mlp, cfg.hidden_dropout_prob, deterministic)

@@ -255,11 +255,19 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
     attn = dropout(r_attn_out, attn, cfg.hidden_dropout_prob, deterministic)
     x = x + attn
 
-    if fuse_mlp and (deterministic or cfg.hidden_dropout_prob == 0.0):
+    if fuse_mlp:
+        from vault_tpu.ops.nn import dropout_mask
         from vault_tpu.ops.pallas_mlp import fused_mlp_block
 
+        # dropout sits on the MLP output inside the block; the pre-scaled
+        # mask is drawn with the same bernoulli call as the XLA path below,
+        # so the two paths are stream-identical (see bert.py counterpart)
+        mask = None
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
         return fused_mlp_block(lp["ln_after"], lp["mlp_in"], lp["mlp_out"],
-                               x, cfg.layer_norm_eps, cfg.hidden_act)
+                               x, cfg.layer_norm_eps, cfg.hidden_act,
+                               drop_mask=mask)
     y = layer_norm(lp["ln_after"], x, cfg.layer_norm_eps)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], y))
     mlp = linear(lp["mlp_out"], mlp)

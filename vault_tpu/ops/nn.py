@@ -63,6 +63,18 @@ def dropout(rng: Optional[jax.Array], x: jax.Array, rate: float, deterministic: 
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def dropout_mask(rng: jax.Array, shape, rate: float,
+                 dtype=jnp.float32) -> jax.Array:
+    """Pre-scaled inverted-dropout mask in {0, 1/keep} — the SAME bernoulli
+    draw as :func:`dropout`, for kernels that apply dropout inside a fused
+    region (ops/pallas_mlp.py ``fused_mlp_postln_block(drop_mask=...)``), so
+    fused and XLA paths see an identical stream."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, jnp.asarray(1.0 / keep, dtype),
+                     jnp.zeros((), dtype))
+
+
 # ---------------------------------------------------------------------------
 # Initializers (HF-compatible: normal(0, initializer_range), zeros bias,
 # LayerNorm ones/zeros — modeling_vilt.py _init_weights, same for BERT).

@@ -34,10 +34,14 @@ ROW_TILE = 256  # (ROW_TILE, 4H) fp32 intermediate ~3 MB at H=768 -> fits VMEM
                 # alongside both weight matrices (~9.4 MB bf16)
 
 
-def _mlp_block_xla(ln_p, p_in, p_out, x, eps, act):
-    """The reference XLA composition (vilt.py _encoder_layer MLP half)."""
+def _mlp_block_xla(ln_p, p_in, p_out, x, eps, act, m=None):
+    """The reference XLA composition (vilt.py _encoder_layer MLP half).
+    ``m``: optional pre-scaled dropout mask applied to the MLP output."""
     y = layer_norm(ln_p, x, eps)
-    return x + linear(p_out, act_fn(act)(linear(p_in, y)))
+    mlp = linear(p_out, act_fn(act)(linear(p_in, y)))
+    if m is not None:
+        mlp = mlp * m
+    return x + mlp
 
 
 def _erf_approx(x):
@@ -62,7 +66,9 @@ def _kernel_act(name: str):
 
 
 def _mlp_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, eps, act):
+                *rest, eps, act):
+    m_ref = rest[0] if len(rest) == 2 else None
+    out_ref = rest[-1]
     x = x_ref[...]                                   # (R, H)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -75,18 +81,21 @@ def _mlp_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = _kernel_act(act)(h).astype(x.dtype)
     o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
     o = o + b2_ref[0]
+    if m_ref is not None:  # dropout on the MLP output, inside the fusion
+        o = o * m_ref[...].astype(jnp.float32)
     out_ref[...] = o.astype(x.dtype) + x
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "act", "interpret", "row_tile"))
-def fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
+def fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x, m=None,
                         eps: float = 1e-12, act: str = "gelu",
                         interpret: bool | None = None,
                         row_tile: int = ROW_TILE) -> jax.Array:
     """x: (..., H) -> same shape.  Rows are tiled at ``row_tile``; shapes
     whose flattened row count doesn't divide fall back to one tile when
-    small or to the XLA path (callers gate on shape)."""
+    small or to the XLA path (callers gate on shape).  ``m``: optional
+    pre-scaled dropout mask on the MLP output."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     shape = x.shape
@@ -101,11 +110,16 @@ def fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
                                   memory_space=pltpu.VMEM)
     vecs = [v.reshape(1, -1) for v in (gamma, beta, b1, b2)]
     g2, bta2, b1_2, b2_2 = vecs
+    operands = [x2, g2, bta2, w1, b1_2, w2, b2_2]
+    in_specs = [row_spec, full(g2), full(bta2), full(w1), full(b1_2),
+                full(w2), full(b2_2)]
+    if m is not None:
+        operands.append(m.reshape(rows, h_dim))
+        in_specs.append(row_spec)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps, act=act),
         grid=grid,
-        in_specs=[row_spec, full(g2), full(bta2), full(w1), full(b1_2),
-                  full(w2), full(b2_2)],
+        in_specs=in_specs,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
         interpret=interpret,
@@ -116,13 +130,14 @@ def fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
                             + w2.size * w2.dtype.itemsize),
             transcendentals=rows * w1.shape[1],
         ),
-    )(x2, g2, bta2, w1, b1_2, w2, b2_2)
+    )(*operands)
     return out.reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp(gamma, beta, w1, b1, w2, b2, x, eps, act):
-    return fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act)
+    return fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
+                               eps=eps, act=act)
 
 
 def _fused_mlp_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act):
@@ -136,7 +151,7 @@ def _fused_mlp_bwd(eps, act, residuals, g):
         # fused backward kernel (recompute-in-VMEM; see
         # fused_mlp_block_bwd below)
         dgamma, dbeta, dw1, db1, dw2, db2, dx = fused_mlp_block_bwd(
-            gamma, beta, w1, b1, w2, b2, x, g, eps)
+            gamma, beta, w1, b1, w2, b2, x, g, eps=eps)
         return dgamma, dbeta, dw1, db1, dw2, db2, dx
 
     def f(gamma, beta, w1, b1, w2, b2, x):
@@ -151,20 +166,56 @@ def _fused_mlp_bwd(eps, act, residuals, g):
 _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_mlp_m(gamma, beta, w1, b1, w2, b2, x, m, eps, act):
+    return fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x, m,
+                               eps=eps, act=act)
+
+
+def _fused_mlp_m_fwd(gamma, beta, w1, b1, w2, b2, x, m, eps, act):
+    return (_fused_mlp_m(gamma, beta, w1, b1, w2, b2, x, m, eps, act),
+            (gamma, beta, w1, b1, w2, b2, x, m))
+
+
+def _fused_mlp_m_bwd(eps, act, residuals, g):
+    gamma, beta, w1, b1, w2, b2, x, m = residuals
+    if act == "gelu":
+        out = fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m,
+                                  eps=eps)
+        return (*out, None)  # the mask is a constant of the draw
+
+    def f(gamma, beta, w1, b1, w2, b2, x):
+        return _mlp_block_xla({"scale": gamma, "bias": beta},
+                              {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                              x, eps, act, m)
+
+    _, vjp = jax.vjp(f, gamma, beta, w1, b1, w2, b2, x)
+    return (*vjp(g), None)
+
+
+_fused_mlp_m.defvjp(_fused_mlp_m_fwd, _fused_mlp_m_bwd)
+
+
 def fused_mlp_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
-                    act: str = "gelu") -> jax.Array:
+                    act: str = "gelu", drop_mask=None) -> jax.Array:
     """Drop-in for the pre-LN MLP half of a ViLT encoder layer.  Fp weights
     and int8 weight-only quantized weights (ops/quantize.py {w_q, w_scale})
-    each have a fused kernel; anything else falls back to XLA."""
+    each have a fused kernel; anything else falls back to XLA.
+    ``drop_mask``: optional pre-scaled dropout mask on the MLP output
+    (fp-weight kernels only; quantized weights with a mask fall back)."""
     if "w" in p_in and "w" in p_out:
-        return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"], p_in["b"],
-                          p_out["w"], p_out["b"], x, eps, act)
-    if "w_q" in p_in and "w_q" in p_out:
+        if drop_mask is None:
+            return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"],
+                              p_in["b"], p_out["w"], p_out["b"], x, eps, act)
+        return _fused_mlp_m(ln_p["scale"], ln_p["bias"], p_in["w"],
+                            p_in["b"], p_out["w"], p_out["b"], x, drop_mask,
+                            eps, act)
+    if "w_q" in p_in and "w_q" in p_out and drop_mask is None:
         return _fused_mlp_q8(ln_p["scale"], ln_p["bias"],
                              p_in["w_q"], p_in["w_scale"], p_in["b"],
                              p_out["w_q"], p_out["w_scale"], p_out["b"],
                              x, eps, act)
-    return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act)
+    return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -303,12 +354,14 @@ def _gelu_grad(h):
 
 
 def _mlp_bwd_kernel(x_ref, g_ref, gamma_ref, bta_ref, w1_ref, b1_ref,
-                    w2_ref, dx_ref, dh1_ref, a_ref, y_ref,
-                    dgamma_ref, dbeta_ref, *, eps):
+                    w2_ref, *rest, eps):
+    m_ref = rest[0] if len(rest) == 7 else None
+    dx_ref, dh1_ref, a_ref, y_ref, dgamma_ref, dbeta_ref = rest[-6:]
     x = x_ref[...].astype(jnp.float32)                     # (R, H)
     g = g_ref[...].astype(jnp.float32)
     gamma = gamma_ref[0]
-    # ---- recompute the forward chain in VMEM
+    # ---- recompute the forward chain in VMEM (mask-independent: the mask
+    # only scales the block OUTPUT, so it enters backward as g*m)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
@@ -320,9 +373,10 @@ def _mlp_bwd_kernel(x_ref, g_ref, gamma_ref, bta_ref, w1_ref, b1_ref,
     a = (0.5 * h1 * (1.0 + _erf_approx(h1 * (2.0 ** -0.5))))
     ac = a.astype(x_ref.dtype)
     # ---- backward
-    gc = g.astype(x_ref.dtype)
+    gm = g if m_ref is None else g * m_ref[...].astype(jnp.float32)
+    gc = gm.astype(x_ref.dtype)
     da = jax.lax.dot_general(gc, w2_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # g @ W2^T
+                             preferred_element_type=jnp.float32)  # gm @ W2^T
     dh1 = da * _gelu_grad(h1)
     dh1c = dh1.astype(x_ref.dtype)
     dy = jax.lax.dot_general(dh1c, w1_ref[...], (((1,), (1,)), ((), ())),
@@ -349,10 +403,11 @@ def _mlp_bwd_kernel(x_ref, g_ref, gamma_ref, bta_ref, w1_ref, b1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
-def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m=None,
                         eps: float = 1e-12, interpret: bool | None = None,
                         row_tile: int = BWD_ROW_TILE):
-    """Gradients of ``x + gelu(LN(x)@W1+b1)@W2+b2`` w.r.t. every input.
+    """Gradients of ``x + m*(gelu(LN(x)@W1+b1)@W2+b2)`` w.r.t. every input
+    (``m``: optional pre-scaled dropout mask, treated as a constant).
     Returns (dgamma, dbeta, dw1, db1, dw2, db2, dx)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -372,11 +427,18 @@ def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     gam2, bta2, b1_2 = (v.reshape(1, -1) for v in (gamma, beta, b1))
+    operands = [x2, g2, gam2, bta2, w1, b1_2, w2]
+    in_specs = [row_h, row_h, full(gam2), full(bta2), full(w1),
+                full(b1_2), full(w2)]
+    m2 = None
+    if m is not None:
+        m2 = m.reshape(rows, h_dim)
+        operands.append(m2)
+        in_specs.append(row_h)
     dx, dh1, a, y, dgamma, dbeta = pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, eps=eps),
         grid=(rows // tile,),
-        in_specs=[row_h, row_h, full(gam2), full(bta2), full(w1),
-                  full(b1_2), full(w2)],
+        in_specs=in_specs,
         out_specs=[row_h, row_i, row_i, row_h, acc, acc],
         out_shape=[
             jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
@@ -395,14 +457,17 @@ def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
                             + (w1.size + w2.size) * w1.dtype.itemsize),
             transcendentals=2 * rows * inner,
         ),
-    )(x2, g2, gam2, bta2, w1, b1_2, w2)
-    # weight grads: plain matmuls at the MXU floor (XLA)
+    )(*operands)
+    # weight grads: plain matmuls at the MXU floor (XLA); with a mask the
+    # MLP-output cotangent is g*m
+    gm2 = g2 if m2 is None else (g2.astype(jnp.float32)
+                                 * m2.astype(jnp.float32)).astype(g2.dtype)
     dw1 = jnp.matmul(y.T, dh1, preferred_element_type=jnp.float32
                      ).astype(w1.dtype)
     db1 = jnp.sum(dh1.astype(jnp.float32), axis=0).astype(b1.dtype)
-    dw2 = jnp.matmul(a.T, g2, preferred_element_type=jnp.float32
+    dw2 = jnp.matmul(a.T, gm2, preferred_element_type=jnp.float32
                      ).astype(w2.dtype)
-    db2 = jnp.sum(g2.astype(jnp.float32), axis=0).astype(b2.dtype)
+    db2 = jnp.sum(gm2.astype(jnp.float32), axis=0).astype(b2.dtype)
     return (dgamma.reshape(-1).astype(gamma.dtype),
             dbeta.reshape(-1).astype(beta.dtype),
             dw1, db1, dw2, db2, dx.reshape(shape))
@@ -501,23 +566,40 @@ _fused_mlp_q8.defvjp(_fused_mlp_q8_fwd, _fused_mlp_q8_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Post-LN variant (BERT-style towers): out = LN(x + MLP(x))
+# Post-LN variant (BERT-style towers): out = LN(x + dropout(MLP(x)))
 # ---------------------------------------------------------------------------
+#
+# Training-mode dropout sits INSIDE this block (BertOutput applies it to the
+# MLP output before the residual+LN), which would force the XLA fallback for
+# any tower with hidden_dropout_prob > 0 (bert-base trains at 0.1).  Instead
+# the caller passes the pre-scaled dropout mask m in {0, 1/keep} — drawn at
+# the XLA level with the SAME jax.random.bernoulli call as ops/nn.dropout,
+# so fused and XLA paths are stream-identical — and the kernel applies it
+# elementwise between the second matmul and the LN.  The big win stays: the
+# (rows, 4H) intermediate and the GELU/LN passes never touch HBM; the mask
+# adds one (rows, H) read.
 
-def _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act):
+def _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act, m=None):
     """The XLA composition (bert.py _encoder_layer MLP half: post-LN,
-    modeling_bert.py BertOutput)."""
+    modeling_bert.py BertOutput).  ``m``: optional pre-scaled dropout mask."""
     mlp = linear(p_out, act_fn(act)(linear(p_in, x)))
+    if m is not None:
+        mlp = mlp * m
     return layer_norm(ln_p, x + mlp, eps)
 
 
 def _mlp_postln_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref,
-                       b2_ref, out_ref, *, eps, act):
+                       b2_ref, *rest, eps, act):
+    m_ref = rest[0] if len(rest) == 2 else None
+    out_ref = rest[-1]
     x = x_ref[...]                                   # (R, H)
     h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h = _kernel_act(act)(h + b1_ref[0]).astype(x.dtype)
     o = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
-    s = x.astype(jnp.float32) + o + b2_ref[0]
+    mlp = o + b2_ref[0]
+    if m_ref is not None:
+        mlp = mlp * m_ref[...].astype(jnp.float32)
+    s = x.astype(jnp.float32) + mlp
     mean = jnp.mean(s, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
     y = (s - mean) * jax.lax.rsqrt(var + eps)
@@ -526,7 +608,7 @@ def _mlp_postln_kernel(x_ref, g_ref, bta_ref, w1_ref, b1_ref, w2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "act", "interpret", "row_tile"))
-def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
+def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, m=None,
                          eps: float = 1e-12, act: str = "gelu",
                          interpret: bool | None = None,
                          row_tile: int = ROW_TILE) -> jax.Array:
@@ -542,11 +624,16 @@ def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    operands = [x2, g2, bta2, w1, b1_2, w2, b2_2]
+    in_specs = [row_spec, full(g2), full(bta2), full(w1), full(b1_2),
+                full(w2), full(b2_2)]
+    if m is not None:
+        operands.append(m.reshape(rows, h_dim))
+        in_specs.append(row_spec)
     out = pl.pallas_call(
         functools.partial(_mlp_postln_kernel, eps=eps, act=act),
         grid=(rows // tile,),
-        in_specs=[row_spec, full(g2), full(bta2), full(w1), full(b1_2),
-                  full(w2), full(b2_2)],
+        in_specs=in_specs,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
         interpret=interpret,
@@ -557,13 +644,14 @@ def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
                             + w2.size * w2.dtype.itemsize),
             transcendentals=rows * w1.shape[1],
         ),
-    )(x2, g2, bta2, w1, b1_2, w2, b2_2)
+    )(*operands)
     return out.reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp_postln(gamma, beta, w1, b1, w2, b2, x, eps, act):
-    return fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act)
+    return fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x,
+                                eps=eps, act=act)
 
 
 def _fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, eps, act):
@@ -576,7 +664,7 @@ def _fused_mlp_postln_bwd(eps, act, residuals, g):
     if act == "gelu":
         # fused backward kernel (recompute-in-VMEM; fused_mlp_postln_bwd)
         return fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
-                                          eps)
+                                          eps=eps)
 
     def f(gamma, beta, w1, b1, w2, b2, x):
         return _mlp_postln_xla({"scale": gamma, "bias": beta},
@@ -590,13 +678,50 @@ def _fused_mlp_postln_bwd(eps, act, residuals, g):
 _fused_mlp_postln.defvjp(_fused_mlp_postln_fwd, _fused_mlp_postln_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_mlp_postln_m(gamma, beta, w1, b1, w2, b2, x, m, eps, act):
+    return fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, m,
+                                eps=eps, act=act)
+
+
+def _fused_mlp_postln_m_fwd(gamma, beta, w1, b1, w2, b2, x, m, eps, act):
+    return (_fused_mlp_postln_m(gamma, beta, w1, b1, w2, b2, x, m, eps, act),
+            (gamma, beta, w1, b1, w2, b2, x, m))
+
+
+def _fused_mlp_postln_m_bwd(eps, act, residuals, g):
+    gamma, beta, w1, b1, w2, b2, x, m = residuals
+    if act == "gelu":
+        out = fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+                                         m, eps=eps)
+        return (*out, None)  # the mask is a constant of the draw
+
+    def f(gamma, beta, w1, b1, w2, b2, x):
+        return _mlp_postln_xla({"scale": gamma, "bias": beta},
+                               {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                               x, eps, act, m)
+
+    _, vjp = jax.vjp(f, gamma, beta, w1, b1, w2, b2, x)
+    return (*vjp(g), None)
+
+
+_fused_mlp_postln_m.defvjp(_fused_mlp_postln_m_fwd, _fused_mlp_postln_m_bwd)
+
+
 def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
-                           act: str = "gelu") -> jax.Array:
-    """Drop-in for the post-LN MLP half of a BERT encoder layer."""
+                           act: str = "gelu", drop_mask=None) -> jax.Array:
+    """Drop-in for the post-LN MLP half of a BERT encoder layer.
+    ``drop_mask``: optional pre-scaled dropout mask in {0, 1/keep} applied
+    to the MLP output (BertOutput dropout) inside the kernel."""
     if "w" not in p_in or "w" not in p_out:
-        return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act)
-    return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
-                             p_in["b"], p_out["w"], p_out["b"], x, eps, act)
+        return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
+    if drop_mask is None:
+        return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
+                                 p_in["b"], p_out["w"], p_out["b"], x, eps,
+                                 act)
+    return _fused_mlp_postln_m(ln_p["scale"], ln_p["bias"], p_in["w"],
+                               p_in["b"], p_out["w"], p_out["b"], x,
+                               drop_mask, eps, act)
 
 
 # ---------------------------------------------------------------------------
@@ -613,30 +738,36 @@ def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
 # tensor fewer than the pre-LN kernel, which must export the normalized y.)
 
 def _mlp_postln_bwd_kernel(x_ref, g_ref, gamma_ref, b1_ref, b2_ref, w1_ref,
-                           w2_ref, dx_ref, dh1_ref, a_ref, ds_ref,
-                           dgamma_ref, dbeta_ref, *, eps):
+                           w2_ref, *rest, eps):
+    m_ref = rest[0] if len(rest) == 7 else None
+    dx_ref, dh1_ref, a_ref, ds_ref, dgamma_ref, dbeta_ref = rest[-6:]
     x = x_ref[...]                                     # (R, H)
     g = g_ref[...].astype(jnp.float32)
     gamma = gamma_ref[0]
+    m = None if m_ref is None else m_ref[...].astype(jnp.float32)
     # ---- recompute the forward chain in VMEM
     h1 = jnp.dot(x, w1_ref[...],
                  preferred_element_type=jnp.float32) + b1_ref[0]
     a = 0.5 * h1 * (1.0 + _erf_approx(h1 * (2.0 ** -0.5)))
     ac = a.astype(x.dtype)
     o = jnp.dot(ac, w2_ref[...], preferred_element_type=jnp.float32)
-    s = x.astype(jnp.float32) + o + b2_ref[0]
+    mlp = o + b2_ref[0]
+    if m is not None:
+        mlp = mlp * m
+    s = x.astype(jnp.float32) + mlp
     mean = jnp.mean(s, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     shat = (s - mean) * rstd
-    # ---- backward: LN first, then the MLP chain
+    # ---- backward: LN first, then the (masked) MLP chain
     dshat = g * gamma
     m1 = jnp.mean(dshat, axis=-1, keepdims=True)
     m2 = jnp.mean(dshat * shat, axis=-1, keepdims=True)
     ds = (dshat - m1 - shat * m2) * rstd
-    dsc = ds.astype(x.dtype)
-    da = jax.lax.dot_general(dsc, w2_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # ds @ W2^T
+    dmlp = ds if m is None else ds * m   # grad at the pre-dropout MLP output
+    dmlpc = dmlp.astype(x.dtype)
+    da = jax.lax.dot_general(dmlpc, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # @ W2^T
     dh1 = da * _gelu_grad(h1)
     dh1c = dh1.astype(x.dtype)
     dxm = jax.lax.dot_general(dh1c, w1_ref[...], (((1,), (1,)), ((), ())),
@@ -644,7 +775,7 @@ def _mlp_postln_bwd_kernel(x_ref, g_ref, gamma_ref, b1_ref, b2_ref, w1_ref,
     dx_ref[...] = (ds + dxm).astype(dx_ref.dtype)      # + residual path
     dh1_ref[...] = dh1c
     a_ref[...] = ac
-    ds_ref[...] = dsc
+    ds_ref[...] = dmlpc   # dW2 = a^T dmlp, db2 = sum dmlp
     # ---- LN param grads accumulate across the (sequential) grid
     part_g = jnp.sum(g * shat, axis=0, keepdims=True)
     part_b = jnp.sum(g, axis=0, keepdims=True)
@@ -659,11 +790,12 @@ def _mlp_postln_bwd_kernel(x_ref, g_ref, gamma_ref, b1_ref, b2_ref, w1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
-def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
+def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m=None,
                                eps: float = 1e-12,
                                interpret: bool | None = None,
                                row_tile: int = BWD_ROW_TILE):
-    """Gradients of ``LN(x + gelu(x@W1+b1)@W2+b2)`` w.r.t. every input.
+    """Gradients of ``LN(x + m*(gelu(x@W1+b1)@W2+b2))`` w.r.t. every input
+    (``m``: optional pre-scaled dropout mask, treated as a constant).
     Returns (dgamma, dbeta, dw1, db1, dw2, db2, dx)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -683,11 +815,16 @@ def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     gam2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, b1, b2))
+    operands = [x2, g2, gam2, b1_2, b2_2, w1, w2]
+    in_specs = [row_h, row_h, full(gam2), full(b1_2), full(b2_2),
+                full(w1), full(w2)]
+    if m is not None:
+        operands.append(m.reshape(rows, h_dim))
+        in_specs.append(row_h)
     dx, dh1, a, ds, dgamma, dbeta = pl.pallas_call(
         functools.partial(_mlp_postln_bwd_kernel, eps=eps),
         grid=(rows // tile,),
-        in_specs=[row_h, row_h, full(gam2), full(b1_2), full(b2_2),
-                  full(w1), full(w2)],
+        in_specs=in_specs,
         out_specs=[row_h, row_i, row_i, row_h, acc, acc],
         out_shape=[
             jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
@@ -706,7 +843,7 @@ def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g,
                             + (w1.size + w2.size) * w1.dtype.itemsize),
             transcendentals=2 * rows * inner,
         ),
-    )(x2, g2, gam2, b1_2, b2_2, w1, w2)
+    )(*operands)
     # weight grads: plain matmuls at the MXU floor (XLA)
     dw1 = jnp.matmul(x2.T, dh1, preferred_element_type=jnp.float32
                      ).astype(w1.dtype)
