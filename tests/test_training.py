@@ -589,3 +589,22 @@ def test_trainer_with_int8_opt_state():
             is_leaf=lambda x: isinstance(x, Q8Moment))[0]
         assert isinstance(mu_leaf, Q8Moment)
         assert int(tr.opt_state.count) > 0
+
+
+def test_trainer_with_rbg_rng():
+    """rng_impl='rbg' (TPU hardware-friendly dropout PRNG, measured 467 vs
+    441 pairs/s at full geometry) runs the full loop and trains."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        args = TrainArgs(lr=5e-3, train_batch_size=8, num_train_epochs=1,
+                         rng_impl="rbg")
+        tr = Trainer(apply_fn, params, args,
+                     InMemoryDataset(feats, labels),
+                     exp_handler=ExperimentHandler(d, "rbg"))
+        tr.train()
+        assert int(tr.opt_state.count) > 0

@@ -75,6 +75,11 @@ class TrainArgs:
     seed: int = 0
     # TPU-native:
     num_data_shards: Optional[int] = None     # default: all devices
+    # dropout PRNG implementation: "rbg" uses the TPU's hardware-friendly
+    # generator — measured 467 vs 441 pairs/s at full geometry (threefry
+    # bernoulli draws cost ~2 ms/step); threefry (None/default) keeps
+    # jax's cross-version-reproducible streams
+    rng_impl: Optional[str] = None
     # impl selector (ops/attention.py parse_impl): "auto" = fused QKV +
     # fused LN->MLP kernel on TPU (measured 12% faster forward), XLA
     # elsewhere; False forces XLA everywhere
@@ -293,7 +298,8 @@ class Trainer:
         eval_steps = a.eval_steps or steps_per_epoch
         self._build_steps(steps_per_epoch)
 
-        rng = jax.random.PRNGKey(a.seed)
+        rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
+               else jax.random.PRNGKey(a.seed))
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
