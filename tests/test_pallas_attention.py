@@ -613,3 +613,44 @@ def test_vilt_dropout_stream_parity_fused_vs_xla():
     for a, b in zip(jax.tree.leaves(loss(False)),
                     jax.tree.leaves(loss("fusemlp"))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_cross_encoder_fusemlp_matches_xla():
+    """Tom*-family cross-encoder blocks route their post-LN MLP half through
+    the fused kernel: values + grads match XLA, dropout on and off."""
+    import dataclasses
+
+    from vault_tpu.config import tiny_text_config
+    from vault_tpu.models.modules import cross_encoder_apply, init_cross_encoder
+
+    cfg = dataclasses.replace(tiny_text_config(), hidden_dropout_prob=0.2,
+                              attention_probs_dropout_prob=0.0)
+    params = init_cross_encoder(jax.random.PRNGKey(8), cfg, num_layers=2)
+    rng = np.random.default_rng(21)
+    querying = jnp.asarray(rng.normal(size=(2, 6, cfg.hidden_size)),
+                           jnp.float32)
+    queried = jnp.asarray(rng.normal(size=(2, 9, cfg.hidden_size)),
+                          jnp.float32)
+
+    for det, key in ((True, None), (False, jax.random.PRNGKey(11))):
+        ref = cross_encoder_apply(params, cfg, querying, queried, None,
+                                  deterministic=det, rng=key,
+                                  use_pallas=False)
+        out = cross_encoder_apply(params, cfg, querying, queried, None,
+                                  deterministic=det, rng=key,
+                                  use_pallas="fusemlp")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"det={det}")
+
+    def loss(impl):
+        def f(p):
+            out = cross_encoder_apply(p, cfg, querying, queried, None,
+                                      deterministic=False,
+                                      rng=jax.random.PRNGKey(11),
+                                      use_pallas=impl)
+            return jnp.sum(out ** 2)
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree.leaves(loss(False)),
+                    jax.tree.leaves(loss("fusemlp"))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

@@ -54,8 +54,10 @@ def init_cross_encoder(rng, cfg: TextTowerConfig, num_layers: Optional[int] = No
 
 
 def cross_layer_apply(lp, cfg: TextTowerConfig, querying, queried, bias,
-                      deterministic=True, rng=None):
-    """One cross block: cross-attn + post-LN + MLP + post-LN."""
+                      deterministic=True, rng=None, use_pallas="auto"):
+    """One cross block: cross-attn + post-LN + MLP + post-LN.  The MLP half
+    uses the fused post-LN kernel on TPU (same block shape as a BERT layer;
+    in-fusion dropout mask, see models/bert.py)."""
     if rng is not None:
         r_attn, r_out, r_mlp = jax.random.split(rng, 3)
     else:
@@ -69,6 +71,18 @@ def cross_layer_apply(lp, cfg: TextTowerConfig, querying, queried, bias,
     attn = dropout(r_out, attn, cfg.hidden_dropout_prob, deterministic)
     x = layer_norm(lp["attn_ln"], querying + attn, cfg.layer_norm_eps)
 
+    from vault_tpu.ops.attention import parse_impl
+    _, _, fuse_mlp, _ = parse_impl(use_pallas)
+    if fuse_mlp:
+        from vault_tpu.ops.nn import dropout_mask
+        from vault_tpu.ops.pallas_mlp import fused_mlp_postln_block
+
+        mask = None
+        if not deterministic and cfg.hidden_dropout_prob > 0.0:
+            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
+        return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"],
+                                      lp["mlp_out"], x, cfg.layer_norm_eps,
+                                      cfg.hidden_act, drop_mask=mask)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], x))
     mlp = linear(lp["mlp_out"], mlp)
     mlp = dropout(r_mlp, mlp, cfg.hidden_dropout_prob, deterministic)
@@ -76,14 +90,15 @@ def cross_layer_apply(lp, cfg: TextTowerConfig, querying, queried, bias,
 
 
 def cross_encoder_apply(params, cfg: TextTowerConfig, querying, queried, bias,
-                        deterministic=True, rng=None):
+                        deterministic=True, rng=None, use_pallas="auto"):
     """Only the querying stream updates layer-to-layer
     (vault/modules.py:104-166)."""
 
     def body(carry, lp):
         h, i = carry
         layer_rng = None if rng is None else jax.random.fold_in(rng, i)
-        h = cross_layer_apply(lp, cfg, h, queried, bias, deterministic, layer_rng)
+        h = cross_layer_apply(lp, cfg, h, queried, bias, deterministic,
+                              layer_rng, use_pallas)
         return (h, i + 1), None
 
     (querying, _), _ = jax.lax.scan(body, (querying, 0), params["layers"])
