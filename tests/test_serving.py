@@ -1,0 +1,127 @@
+"""Micro-batching inference server: correctness, coalescing, HTTP surface.
+
+The reference has no serving layer; this validates the TPU-style design
+(vault_tpu/serving.py): fixed max_batch padding => one compiled program,
+concurrent requests coalesced into shared device calls."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.data.processor import VaultProcessor
+from vault_tpu.models.vault import (
+    init_classifier_head,
+    init_vault,
+    vault_for_classification,
+)
+from vault_tpu.serving import BatchingEngine, InferenceServer, decode_image
+from vault_tpu.text.wordpiece import WordPieceTokenizer
+
+VOCAB = "[PAD] [UNK] [CLS] [SEP] [MASK] a cat dog couch on the".split()
+MAX_BATCH = 4
+
+
+def _setup():
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=8),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    tok = WordPieceTokenizer({t: i for i, t in enumerate(VOCAB)})
+    proc = VaultProcessor(tok, max_length=8, canvas=(32, 32))
+    fwd = jax.jit(lambda b: vault_for_classification(
+        params, cfg, b, head_dropout=0.0, deterministic=True))
+    return cfg, params, proc, fwd
+
+
+def _img(seed, size=(40, 30)):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (*size, 3)).astype(np.uint8)
+
+
+def test_engine_matches_direct_call_and_pads():
+    cfg, params, proc, fwd = _setup()
+    eng = BatchingEngine(proc, fwd, max_batch=MAX_BATCH, max_wait_ms=1.0)
+    try:
+        img, text = _img(0), "a cat on the couch"
+        out = eng.predict(img, text)
+        enc = proc([img], [text])
+        feats = {k: np.concatenate([v, v[:1], v[:1], v[:1]]) for k, v in enc.items()}
+        direct = np.asarray(fwd({k: jnp.asarray(v) for k, v in feats.items()}))
+        np.testing.assert_allclose(np.asarray(out), direct[0], atol=1e-5)
+        assert out.shape == (3,)
+    finally:
+        eng.close()
+
+
+def test_engine_coalesces_concurrent_requests():
+    cfg, params, proc, fwd = _setup()
+    eng = BatchingEngine(proc, fwd, max_batch=MAX_BATCH, max_wait_ms=300.0)
+    try:
+        eng.predict(_img(0), "a cat")  # warm: compile outside the timed part
+        results = [None] * MAX_BATCH
+
+        def call(i):
+            results[i] = eng.predict(_img(i), "a dog on the couch")
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(MAX_BATCH)]
+        before = eng.batches_run
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and r.shape == (3,) for r in results)
+        # 4 concurrent requests within the wait window -> shared batches
+        assert eng.batches_run - before < MAX_BATCH
+        assert eng.requests_served >= MAX_BATCH + 1
+    finally:
+        eng.close()
+
+
+def test_http_server_predict_and_health():
+    cfg, params, proc, fwd = _setup()
+    server = InferenceServer(proc, fwd, port=0, max_batch=MAX_BATCH,
+                             max_wait_ms=1.0).start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(_img(3)).save(buf, format="PNG")
+        payload = json.dumps({
+            "text": "a cat on the couch",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read())
+        assert len(body["output"]) == 3
+        # decode path matches the direct engine path
+        direct = server.engine.predict(decode_image(buf.getvalue()),
+                                       "a cat on the couch")
+        np.testing.assert_allclose(body["output"], np.asarray(direct),
+                                   atol=1e-5)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["requests_served"] >= 2
+        # malformed request -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        server.close()

@@ -1,0 +1,194 @@
+"""Production serving: micro-batching HTTP inference server.
+
+The reference has no serving story beyond ``model.eval()`` in a notebook;
+this module turns a (processor, forward) pair into a deployable endpoint
+the TPU way:
+
+  * **one compiled program**: requests are padded to a fixed ``max_batch``
+    (static shapes — the same one-compilation-per-task design as training);
+  * **micro-batching**: concurrent requests are coalesced into one device
+    call (a queue drains up to ``max_batch`` items or waits ``max_wait_ms``
+    — the standard accelerator-serving pattern, since per-request dispatch
+    would waste the chip);
+  * the host half (image decode/resize + tokenize) runs in the request
+    threads, overlapping the device half of other batches.
+
+Works with a live jitted function or a ``jax.export`` artifact
+(vault_tpu/export.py) plus a weights checkpoint.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Image bytes (PNG/JPEG) -> (H, W, 3) uint8."""
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    text: str
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class BatchingEngine:
+    """Coalesces concurrent predict() calls into fixed-size device batches.
+
+    ``apply(features_dict) -> logits`` must accept a full ``max_batch``-sized
+    encoded batch (processor output); short batches are padded by repeating
+    row 0 (masked out of the returned results), so the device only ever sees
+    ONE shape and jit compiles once.
+    """
+
+    def __init__(self, processor, apply: Callable, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        self.processor = processor
+        self.apply = apply
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.batches_run = 0          # observability: device calls issued
+        self.requests_served = 0
+
+    # ------------------------------------------------------------- client
+    def predict(self, image: np.ndarray, text: str,
+                timeout: float = 30.0) -> np.ndarray:
+        item = _Pending(image=image, text=text)
+        self._q.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("predict timed out")
+        if item.error is not None:
+            raise RuntimeError(item.error)
+        return item.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------- worker
+    def _drain(self) -> List[_Pending]:
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = (self.max_wait_ms / 1e3)
+        import time
+
+        t0 = time.perf_counter()
+        while len(items) < self.max_batch:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            try:
+                enc = self.processor([it.image for it in items],
+                                     [it.text for it in items])
+                n = len(items)
+                feats = {k: np.concatenate(
+                    [v] + [v[:1]] * (self.max_batch - n), axis=0)
+                    if n < self.max_batch else v
+                    for k, v in enc.items()}
+                out = np.asarray(self.apply(
+                    {k: jnp.asarray(v) for k, v in feats.items()}))
+                self.batches_run += 1
+                self.requests_served += n
+                for i, it in enumerate(items):
+                    it.result = out[i]
+                    it.event.set()
+            except Exception as e:  # surface errors to every waiter
+                for it in items:
+                    it.error = f"{type(e).__name__}: {e}"
+                    it.event.set()
+
+
+def make_handler(engine: BatchingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True,
+                                 "batches_run": engine.batches_run,
+                                 "requests_served": engine.requests_served})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                image = decode_image(base64.b64decode(req["image_b64"]))
+                out = engine.predict(image, req["text"])
+                self._send(200, {"output": np.asarray(out).tolist()})
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class InferenceServer:
+    """HTTP wrapper: POST /predict {"text", "image_b64"} -> {"output"};
+    GET /healthz -> liveness + batching counters."""
+
+    def __init__(self, processor, apply: Callable, host: str = "127.0.0.1",
+                 port: int = 0, max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.engine = BatchingEngine(processor, apply, max_batch, max_wait_ms)
+        self.httpd = ThreadingHTTPServer((host, port),
+                                         make_handler(self.engine))
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.engine.close()
