@@ -47,10 +47,11 @@ VAULT_MODEL_ARGS = dict(
                                          "ViLT encoder layers — the "
                                          "reference's *intended* override, "
                                          "actually wired here (its effective "
-                                         "value was always 0.0; nonzero also "
-                                         "disables the fused MLP kernels in "
-                                         "training, dropout sits inside the "
-                                         "fusion boundary)"),
+                                         "value was always 0.0, which is the "
+                                         "default for published-recipe "
+                                         "parity; the fused MLP kernels "
+                                         "support nonzero via in-fusion "
+                                         "dropout masks)"),
     freeze_lm=dict(action="store_true", help="freeze the language tower"),
     use_vilt_position_embeddings=dict(action="store_true",
                                       help="keep ViLT's text position embeds"),
@@ -179,9 +180,10 @@ def main():
         text_cfg = text_config_from_name(bert_name) if bert_name else None
     # ViLT-internal dropout: the reference's --vilt_dropout_prob INTENT (its
     # own override is a typo'd no-op, vault/models/vault/model.py:71-75, so
-    # its effective value was always the pretrained 0.0 — which is also our
-    # default, keeping published-recipe parity AND the fused training
-    # kernels).  --vilt_internal_dropout_prob wires the fixed intent.
+    # its effective value was always the pretrained 0.0 — our default, for
+    # published-recipe parity).  --vilt_internal_dropout_prob wires the
+    # fixed intent; the fused kernels keep working either way (in-fusion
+    # dropout masks).
     import dataclasses
     vilt_cfg = dataclasses.replace(
         vilt_cfg, hidden_dropout_prob=args.vilt_internal_dropout_prob,

@@ -35,20 +35,31 @@ def main():
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only quantized serving")
-    ap.add_argument("--canvas", default="auto")
+    ap.add_argument("--canvas", default="608x608",
+                    help="fixed HxW canvas (default 608x608: one compiled "
+                         "program covering both orientations). 'auto' "
+                         "bucket mode is NOT recommended for serving: each "
+                         "new bucket jit-compiles mid-traffic")
     args = ap.parse_args()
 
+    import numpy as np
+
+    from vault_tpu.config import VaultConfig
     from vault_tpu.data.processor import VaultProcessor
-    from vault_tpu.models.pretrained import build_tokenizer
+    from vault_tpu.models.pretrained import (
+        build_tokenizer,
+        text_config_from_name,
+        vilt_config_from_name,
+    )
     from vault_tpu.models.vault import (
         init_classifier_head,
         init_vault,
         vault_for_classification,
     )
-    from vault_tpu.presets import vault_base
     from vault_tpu.serving import InferenceServer
 
-    cfg = vault_base(os.path.basename(args.bert))
+    cfg = VaultConfig(vilt=vilt_config_from_name(args.vilt),
+                      text_tower=text_config_from_name(args.bert))
     params = init_vault(jax.random.PRNGKey(0), cfg)
     params["head"] = init_classifier_head(jax.random.PRNGKey(1),
                                           cfg.vilt.hidden_size,
@@ -74,7 +85,14 @@ def main():
 
     server = InferenceServer(processor, fwd, host=args.host, port=args.port,
                              max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms).start()
+                             max_wait_ms=args.max_wait_ms)
+    # pre-warm: compile the serving program BEFORE accepting traffic (first
+    # TPU compile can take minutes through a cold cache; without this the
+    # triggering request and everything queued behind it would time out)
+    print("warming up (compiling the serving program)...")
+    warm = np.full((64, 64, 3), 127, np.uint8)
+    server.engine.predict(warm, "warmup", timeout=900.0)
+    server.start()
     print(f"serving on http://{args.host}:{server.port}  "
           f"(max_batch={args.max_batch})")
     try:

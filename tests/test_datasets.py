@@ -349,3 +349,27 @@ def test_twitter_dataset_orientation_buckets(twitter_dir):
                                  rng=np.random.default_rng(0)):
         got.extend(lab.tolist())
     assert sorted(got) == [0, 1, 2]
+
+
+def test_orientation_buckets_num_batches_matches_yield(tmp_path):
+    """num_batches must count one partial batch per canvas group — it sizes
+    the LR-schedule horizon and eval windows in the Trainer."""
+    d = tmp_path / "imgs2"
+    d.mkdir()
+    paths, texts, ids = [], [], []
+    for i in range(5):  # 5 landscape
+        p = str(d / f"l{i}.jpg"); _img(p, size=(80, 50)); paths.append(p)
+    for i in range(3):  # 3 portrait
+        p = str(d / f"p{i}.jpg"); _img(p, size=(50, 80)); paths.append(p)
+    texts = ["the fox"] * 8
+    ids = [str(i) for i in range(8)]
+    labels = np.arange(8, dtype=np.int32)
+    proc = VaultProcessor(_tok(), max_length=8, canvas="auto")
+    ds = VisionLanguageDataset(ids, texts, paths, labels, proc,
+                               orientation_buckets=True)
+    # groups 5+3 at batch 2 -> 3 + 2 = 5 batches (plain ceil(8/2)=4 is wrong)
+    assert ds.num_batches(2) == 5
+    assert len(list(ds.batches(2, shuffle=True,
+                               rng=np.random.default_rng(0)))) == 5
+    ds_plain = VisionLanguageDataset(ids, texts, paths, labels, proc)
+    assert ds_plain.num_batches(2) == 4

@@ -50,6 +50,13 @@ def load_image_with_fallback(image_dir: str, basename: str) -> Tuple[np.ndarray,
         return load_image_file(os.path.join(image_dir, FAIL_IMAGE_BN)), True
 
 
+def _grouped_num_batches(keys, batch_size: int) -> int:
+    from collections import Counter
+
+    return sum((c + batch_size - 1) // batch_size
+               for c in Counter(keys).values())
+
+
 def _index_batches(n: int, batch_size: int, shuffle: bool,
                    rng: np.random.Generator, keys=None):
     """Batch index stream: uniform shuffle, or canvas-grouped when ``keys``
@@ -147,6 +154,11 @@ class Twitter201XDataset:
         return len(self.examples)
 
     def num_batches(self, batch_size: int) -> int:
+        # bucketed sampling yields up to one partial batch per canvas group,
+        # so the count (which sizes the LR schedule horizon and eval windows)
+        # must sum per group
+        if self.orientation_buckets:
+            return _grouped_num_batches(self._canvas_keys(), batch_size)
         return (self.num_examples + batch_size - 1) // batch_size
 
     def _raw_image(self, i: int) -> np.ndarray:
@@ -377,6 +389,8 @@ class VisionLanguageDataset:
         return len(self.image_paths)
 
     def num_batches(self, batch_size: int) -> int:
+        if self.orientation_buckets:  # one partial batch per canvas group
+            return _grouped_num_batches(self._canvas_keys(), batch_size)
         return (self.num_examples + batch_size - 1) // batch_size
 
     def _raw_image(self, i: int) -> np.ndarray:

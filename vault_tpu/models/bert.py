@@ -129,18 +129,9 @@ def _encoder_layer(lp, cfg: TextTowerConfig, x, bias, deterministic, rng,
     x = layer_norm(lp["attn_ln"], x + attn, cfg.layer_norm_eps)
 
     if fuse_mlp:
-        from vault_tpu.ops.nn import dropout_mask
-        from vault_tpu.ops.pallas_mlp import fused_mlp_postln_block
+        from vault_tpu.ops.pallas_mlp import fused_postln_mlp
 
-        # training-mode dropout sits inside the block (BertOutput); drawing
-        # the pre-scaled mask here with the same bernoulli call keeps the
-        # fused path stream-identical to the XLA composition below
-        mask = None
-        if not deterministic and cfg.hidden_dropout_prob > 0.0:
-            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
-        return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"],
-                                      lp["mlp_out"], x, cfg.layer_norm_eps,
-                                      cfg.hidden_act, drop_mask=mask)
+        return fused_postln_mlp(lp, cfg, x, r_mlp, deterministic)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], x))
     mlp = linear(lp["mlp_out"], mlp)
     mlp = dropout(r_mlp, mlp, cfg.hidden_dropout_prob, deterministic)

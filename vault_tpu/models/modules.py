@@ -74,15 +74,9 @@ def cross_layer_apply(lp, cfg: TextTowerConfig, querying, queried, bias,
     from vault_tpu.ops.attention import parse_impl
     _, _, fuse_mlp, _ = parse_impl(use_pallas)
     if fuse_mlp:
-        from vault_tpu.ops.nn import dropout_mask
-        from vault_tpu.ops.pallas_mlp import fused_mlp_postln_block
+        from vault_tpu.ops.pallas_mlp import fused_postln_mlp
 
-        mask = None
-        if not deterministic and cfg.hidden_dropout_prob > 0.0:
-            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
-        return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"],
-                                      lp["mlp_out"], x, cfg.layer_norm_eps,
-                                      cfg.hidden_act, drop_mask=mask)
+        return fused_postln_mlp(lp, cfg, x, r_mlp, deterministic)
     mlp = act_fn(cfg.hidden_act)(linear(lp["mlp_in"], x))
     mlp = linear(lp["mlp_out"], mlp)
     mlp = dropout(r_mlp, mlp, cfg.hidden_dropout_prob, deterministic)

@@ -264,7 +264,8 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
         # so the two paths are stream-identical (see bert.py counterpart)
         mask = None
         if not deterministic and cfg.hidden_dropout_prob > 0.0:
-            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob)
+            mask = dropout_mask(r_mlp, x.shape, cfg.hidden_dropout_prob,
+                                x.dtype)
         return fused_mlp_block(lp["ln_after"], lp["mlp_in"], lp["mlp_out"],
                                x, cfg.layer_norm_eps, cfg.hidden_act,
                                drop_mask=mask)

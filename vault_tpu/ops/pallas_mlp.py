@@ -708,6 +708,23 @@ def _fused_mlp_postln_m_bwd(eps, act, residuals, g):
 _fused_mlp_postln_m.defvjp(_fused_mlp_postln_m_fwd, _fused_mlp_postln_m_bwd)
 
 
+def fused_postln_mlp(lp, cfg, x, rng, deterministic: bool) -> jax.Array:
+    """The shared BERT-layer-shaped dispatch (models/bert.py encoder layers
+    and models/modules.py cross layers): draw the pre-scaled dropout mask
+    with the SAME bernoulli call as ops/nn.dropout — keeping the fused path
+    stream-identical to the XLA composition — then run the fused post-LN
+    block.  The mask is drawn in x.dtype (the kernel upcasts in-register),
+    so bf16 training reads bf16 mask bytes."""
+    from vault_tpu.ops.nn import dropout_mask
+
+    mask = None
+    if not deterministic and cfg.hidden_dropout_prob > 0.0:
+        mask = dropout_mask(rng, x.shape, cfg.hidden_dropout_prob, x.dtype)
+    return fused_mlp_postln_block(lp["mlp_ln"], lp["mlp_in"], lp["mlp_out"],
+                                  x, cfg.layer_norm_eps, cfg.hidden_act,
+                                  drop_mask=mask)
+
+
 def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                            act: str = "gelu", drop_mask=None) -> jax.Array:
     """Drop-in for the post-LN MLP half of a BERT encoder layer.
