@@ -28,6 +28,7 @@ from experiments.utils import (
     GENERAL_ARGS,
     TRAINER_ARGS,
     add_arguments,
+    apply_device_arg,
     trainer_args_from_namespace,
 )
 
@@ -93,6 +94,11 @@ TASK_ARGS = {
         train_split=dict(required=True, type=str, nargs="+"),
         dev_split=dict(type=str, nargs="+"),
         test_split=dict(type=str, nargs="+"),
+        preprocess_on_fetch=dict(
+            action="store_true",
+            help="re-encode train images on fetch, aka augmentation "
+                 "(reference vault/models/tombert/dataset.py flag name; "
+                 "equivalent to --image_augmentation)"),
     ),
     "Bloomberg": dict(
         root_dir=dict(required=True, type=str, help="bloomberg dataset root"),
@@ -101,11 +107,23 @@ TASK_ARGS = {
                       help="dev split size (reference default 564)"),
         test_size=dict(default=704, type=int,
                        help="test split size (reference default 704)"),
+        train_split=dict(default=["train"], type=str, nargs="+",
+                         help="train split(s); the published recipe merges "
+                              "train+dev (scripts/test-results.sh)"),
+        val_split=dict(type=str, nargs="+",
+                       help="development split(s); omit for no dev eval"),
+        test_split=dict(type=str, nargs="+"),
     ),
     "MVSA": dict(
         root_dir=dict(required=True, type=str, help="MVSA dataset root"),
         preprocessed=dict(action="store_true",
                           help="literature label preprocessing"),
+        train_split=dict(default=["train"], type=str, nargs="+",
+                         help="train split(s); the published recipe merges "
+                              "train+dev (scripts/test-results.sh)"),
+        val_split=dict(type=str, nargs="+",
+                       help="development split(s); omit for no dev eval"),
+        test_split=dict(type=str, nargs="+"),
     ),
 }
 
@@ -140,6 +158,7 @@ def build_model(args, cfg, n_classes, rng):
 
 def main():
     args = parse_args()
+    apply_device_arg(args)
     logging.basicConfig(level=args.logging_level.upper(),
                         filename=args.logging_file)
 
@@ -194,8 +213,6 @@ def main():
 
     tokenizer = build_tokenizer(bert_name or args.vilt_model_name_or_path,
                                 args.max_length)
-    if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
-        tokenizer.add_tokens(["$T$"])
     proc_kw = {}
     if canvas:  # debug_tiny geometry wins
         proc_kw["canvas"] = canvas
@@ -212,12 +229,62 @@ def main():
     pre = twitter_preprocessor()
     text_pre = lambda t: pre(demojizer(t))
 
+    # Entity linking resolves BEFORE dataset construction so entity tokens
+    # actually reach the encoded text: the reference appends "/[entity]" to
+    # each linked target prior to encode_plus
+    # (vault/tmsc_utils/dataset.py:260-283).
+    entity_map: dict = {}
+    entity_descriptions: list = []
+    if args.task == "Twitter201X" and args.entity_cache and \
+            hasattr(tokenizer, "add_tokens"):
+        from vault_tpu.text.entity_linking import (
+            EntityLinker,
+            OfflineEntityLinker,
+            build_entity_cache,
+            load_entity_cache,
+        )
+
+        # link-then-cache when the cache file is missing (reference dataset
+        # flow, vault/tmsc_utils/dataset.py:185-283): the offline
+        # alias-store backend, or REL when importable
+        if not os.path.exists(args.entity_cache):
+            linker = None
+            if args.wiki_store:
+                linker = OfflineEntityLinker(args.wiki_store,
+                                             args.entity_threshold)
+            else:
+                rel = EntityLinker(".", threshold=args.entity_threshold)
+                linker = rel if rel.available else None
+            if linker is not None:
+                from vault_tpu.data.datasets import read_twitter201x
+
+                kinds = (list(args.train_split) + list(args.dev_split or [])
+                         + list(args.test_split or []))
+                targets = [e.target for e in read_twitter201x(args.dir, kinds)]
+                build_entity_cache(args.entity_cache, targets, linker)
+
+        cache = load_entity_cache(args.entity_cache) or {}
+        for tgt, (entity, desc) in cache.items():
+            if entity and desc:
+                token = f"[{entity}]"  # reference token surface, :270
+                if tokenizer.add_tokens([token]) == 1:
+                    entity_descriptions.append(desc)
+                entity_map[tgt] = token
+
+    if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
+        # added AFTER entity tokens so the embedding rows appended per rep
+        # (max-pool entity rows first, then the random $T$ row) line up
+        # with the token ids
+        tokenizer.add_tokens(["$T$"])
+
     if args.task == "Twitter201X":
         mk = lambda kinds, augment=False: Twitter201XDataset(
             args.dir, kinds, processor, image_dir=args.image_dir,
             max_length=args.max_length, augment=augment,
+            num_workers=args.max_num_workers, entity_map=entity_map or None,
             orientation_buckets=args.orientation_buckets)
-        train_ds = mk(args.train_split, augment=args.image_augmentation)
+        train_ds = mk(args.train_split,
+                      augment=args.image_augmentation or args.preprocess_on_fetch)
         dev_ds = mk(args.dev_split) if args.dev_split else None
         test_ds = mk(args.test_split) if args.test_split else None
         n_classes = len(train_ds.label_mapping)
@@ -227,35 +294,39 @@ def main():
                          + "(" + ";".join(splits) + ")")
         exp_name = "VaultTMSCTwitter201X"
     elif args.task == "Bloomberg":
-        def mk(split):
+        def mk(splits, augment=False):
             ids, texts, fns, labels, _ = load_bloomberg(
-                args.root_dir, split, args.tasks,
+                args.root_dir, splits, args.tasks,
                 dev_size=args.dev_size, test_size=args.test_size)
             return VisionLanguageDataset(
                 ids, texts, fns, labels, processor,
-                name=f"bloomberg-twitter-text-image({split})",
+                name=f"bloomberg-twitter-text-image({';'.join(splits)})",
                 max_length=args.max_length, text_preprocessor=text_pre,
-                augment=args.image_augmentation,
+                augment=augment, num_workers=args.max_num_workers,
                 orientation_buckets=args.orientation_buckets)
-        train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
+        train_ds = mk(args.train_split, augment=args.image_augmentation)
+        dev_ds = mk(args.val_split) if args.val_split else None
+        test_ds = mk(args.test_split) if args.test_split else None
         n_classes = len(args.tasks)
         trainer_cls = BloombergTrainer
-        dataset_label = "bloomberg-twitter-text-image(train;dev)"
+        dataset_label = train_ds.name
         exp_name = "VaultTMSCBloomberg"
     else:  # MVSA
-        def mk(split):
-            ids, texts, fns, labels = load_mvsa(args.root_dir, split,
+        def mk(splits, augment=False):
+            ids, texts, fns, labels = load_mvsa(args.root_dir, splits,
                                                 args.preprocessed)
             return VisionLanguageDataset(
                 ids, texts, fns, labels, processor,
-                name=f"{os.path.basename(args.root_dir)}({split})",
+                name=f"{os.path.basename(args.root_dir)}({';'.join(splits)})",
                 max_length=args.max_length, text_preprocessor=text_pre,
-                augment=args.image_augmentation,
+                augment=augment, num_workers=args.max_num_workers,
                 orientation_buckets=args.orientation_buckets)
-        train_ds, dev_ds, test_ds = mk("train"), mk("dev"), mk("test")
+        train_ds = mk(args.train_split, augment=args.image_augmentation)
+        dev_ds = mk(args.val_split) if args.val_split else None
+        test_ds = mk(args.test_split) if args.test_split else None
         n_classes = 3 if args.preprocessed else 6
         trainer_cls = MvsaTrainer
-        dataset_label = f"{os.path.basename(args.root_dir)}(train;dev)"
+        dataset_label = train_ds.name
         exp_name = "VaultTMSCMVSA"
 
     targs = trainer_args_from_namespace(args)
@@ -282,54 +353,27 @@ def main():
         params = build_model(args, cfg, n_classes, rng)
         run_cfg = cfg
 
-        # Optional entity linking (reference: experiments/clsf_vault.py:211-220
-        # + vault/entity_linking.py): entity tokens join the tokenizer and
-        # their embeddings init as max-pool of the description tokens'.
-        if args.task == "Twitter201X" and args.entity_cache and \
-                hasattr(tokenizer, "add_tokens"):
+        # Entity-token embeddings init as max-pool of the description
+        # tokens' (vault/entity_linking.py:115-148); fresh per rep since
+        # each rep draws fresh model weights.
+        if entity_descriptions:
             from vault_tpu.text.entity_linking import (
-                EntityLinker,
-                OfflineEntityLinker,
-                build_entity_cache,
                 integrate_entities_into_embeddings,
-                load_entity_cache,
             )
 
-            # link-then-cache when the cache file is missing (reference
-            # dataset flow, vault/tmsc_utils/dataset.py:185-283): the
-            # offline alias-store backend, or REL when importable
-            if not os.path.exists(args.entity_cache):
-                linker = None
-                if args.wiki_store:
-                    linker = OfflineEntityLinker(args.wiki_store,
-                                                 args.entity_threshold)
-                else:
-                    rel = EntityLinker(".", threshold=args.entity_threshold)
-                    linker = rel if rel.available else None
-                if linker is not None:
-                    targets = [e.target for e in train_ds.examples]
-                    for ds in (dev_ds, test_ds):
-                        if ds is not None:
-                            targets.extend(e.target for e in ds.examples)
-                    build_entity_cache(args.entity_cache, targets, linker)
-
-            cache = load_entity_cache(args.entity_cache) or {}
-            entities = [(e, d) for e, d in cache.values() if e and d]
-            if entities:
-                tokenizer.add_tokens([e for e, _ in entities])
-                target = "bert" if run_cfg.text_tower is not None else "vilt"
-                emb_key = "embeddings" if target == "bert" else "text_embeddings"
-                table = integrate_entities_into_embeddings(
-                    params[target][emb_key]["word"],
-                    [d for _, d in entities], tokenizer)
-                params[target][emb_key]["word"] = table
-                import dataclasses
-                if target == "bert":
-                    run_cfg = dataclasses.replace(run_cfg, text_tower=dataclasses.replace(
-                        run_cfg.text_tower, vocab_size=table.shape[0]))
-                else:
-                    run_cfg = dataclasses.replace(run_cfg, vilt=dataclasses.replace(
-                        run_cfg.vilt, vocab_size=table.shape[0]))
+            target = "bert" if run_cfg.text_tower is not None else "vilt"
+            emb_key = "embeddings" if target == "bert" else "text_embeddings"
+            table = integrate_entities_into_embeddings(
+                params[target][emb_key]["word"],
+                entity_descriptions, tokenizer)
+            params[target][emb_key]["word"] = table
+            import dataclasses
+            if target == "bert":
+                run_cfg = dataclasses.replace(run_cfg, text_tower=dataclasses.replace(
+                    run_cfg.text_tower, vocab_size=table.shape[0]))
+            else:
+                run_cfg = dataclasses.replace(run_cfg, vilt=dataclasses.replace(
+                    run_cfg.vilt, vocab_size=table.shape[0]))
 
         if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
             from vault_tpu.models.vault import resize_token_embeddings

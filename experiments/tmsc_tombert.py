@@ -21,21 +21,45 @@ from experiments.utils import (
     GENERAL_ARGS,
     TRAINER_ARGS,
     add_arguments,
+    apply_device_arg,
     trainer_args_from_namespace,
 )
 
 MODEL_ARGS = dict(
     model_name_or_path=dict(default="bert-base-uncased", type=str,
                             help="BERT checkpoint for the text stacks"),
+    tweet_model_name_or_path=dict(type=str,
+                                  help="TomBERT: separate checkpoint for the "
+                                       "tweet tower (+ its tokenizer); "
+                                       "default: model_name_or_path "
+                                       "(reference tombert/model.py:42-45)"),
     vilt_model_name_or_path=dict(default="dandelin/vilt-b32-mlm", type=str,
                                  help="ViLT checkpoint (TomViLT only)"),
     num_hidden_cross_layers=dict(default=1, type=int,
                                  help="cross-attention layers"),
     pooling=dict(default="first", choices=["first", "cls", "both"], type=str),
+    mm_pooling=dict(default="first", choices=["first", "cls", "both"], type=str,
+                    help="TomViLT multimodal pooling (accepted for reference "
+                         "CLI parity, tomvilt/model.py:44-48; the reference "
+                         "never threads it into the model, which pools "
+                         "ViLT's token 0 — neither do we)"),
+    vilt_dropout_prob=dict(default=0.1, type=float,
+                           help="TomViLT: VAuLT classifier-head dropout "
+                                "(the reference's ViLT-internal override is "
+                                "a typo'd no-op, vault/models/vault/"
+                                "model.py:71-75, so the head is its only "
+                                "effective consumer)"),
     resnet_depth=dict(default=101, type=int, choices=[18, 34, 50, 101, 152]),
+    resnet_weights=dict(type=str,
+                        help="local torchvision state-dict (.pth) to seed "
+                             "the ResNet (no-egress stand-in for the "
+                             "reference's pretrained=True)"),
     train_image_encoder=dict(action="store_true", help="fine-tune ResNet"),
     use_tweet_bert=dict(action="store_true",
                         help="TomViLT: use the LM tower inside VAuLT"),
+    add_placeholder_token=dict(action="store_true",
+                               help="add $T$ to the tokenizer and resize "
+                                    "the text towers' embeddings"),
     max_total_length=dict(default=64, type=int,
                           help="max tweet+target tokens (40 for TomViLT)"),
     max_target_length=dict(default=16, type=int, help="max target tokens"),
@@ -50,6 +74,24 @@ DATASET_ARGS = dict(
     train_split=dict(required=True, type=str, nargs="+"),
     dev_split=dict(type=str, nargs="+"),
     test_split=dict(type=str, nargs="+"),
+    preprocess_on_fetch=dict(action="store_true",
+                             help="decode+transform train images per fetch "
+                                  "instead of eagerly (reference flag; its "
+                                  "transform is deterministic, so this is a "
+                                  "memory tradeoff, not augmentation)"),
+)
+
+ENTITY_ARGS = dict(
+    entity_cache=dict(type=str,
+                      help="JSON entity cache (target -> [entity, "
+                           "description]); adds entity tokens to the "
+                           "tokenizer + max-pool embeddings "
+                           "(vault/entity_linking.py:115-148)"),
+    wiki_store=dict(type=str,
+                    help="offline alias-store dir for link-then-cache when "
+                         "--entity_cache is missing"),
+    entity_threshold=dict(default=0.0, type=float,
+                          help="entity-linking confidence threshold"),
 )
 
 
@@ -60,6 +102,7 @@ def parse_args():
         p = sp.add_parser(model)
         add_arguments(p, MODEL_ARGS)
         add_arguments(p, DATASET_ARGS)
+        add_arguments(p, ENTITY_ARGS)
         add_arguments(p, TRAINER_ARGS)
         add_arguments(p, GENERAL_ARGS)
         p.add_argument("-r", "--reps_short", type=int, dest="reps_short",
@@ -72,6 +115,7 @@ def parse_args():
 
 def main():
     args = parse_args()
+    apply_device_arg(args)
     logging.basicConfig(level=args.logging_level.upper(),
                         filename=args.logging_file)
 
@@ -89,6 +133,12 @@ def main():
     from vault_tpu.training.experiment import ExperimentHandler
     from vault_tpu.training.task_trainers import TomBertTrainer
 
+    # TomBERT's tokenizer follows the tweet tower when that differs
+    # (reference experiments/tmsc_tombert.py:73-78)
+    tokenizer_src = args.model_name_or_path
+    if args.model == "TomBERT" and args.tweet_model_name_or_path:
+        tokenizer_src = args.tweet_model_name_or_path
+
     if args.debug_tiny:
         from vault_tpu.config import tiny_text_config
 
@@ -97,18 +147,61 @@ def main():
         args.crop_size = 64
     else:
         text_cfg = text_config_from_name(args.model_name_or_path)
-    tokenizer = build_tokenizer(args.model_name_or_path)
+    tokenizer = build_tokenizer(tokenizer_src)
     processor = VaultProcessor(tokenizer, max_length=args.max_total_length)
 
     max_total = args.max_total_length
     if args.model == "TomViLT":
         max_total = min(max_total, 40)  # ViLT text constraint
 
-    mk = lambda kinds: TomBertTmscDataset(
+    # Entity linking resolves BEFORE dataset construction so the entity
+    # tokens reach the encoded target text (reference wires the same
+    # subparser into this CLI, experiments/tmsc_tombert.py:47, 15-19)
+    entity_map: dict = {}
+    entity_descriptions: list = []
+    if args.entity_cache and hasattr(tokenizer, "add_tokens"):
+        from vault_tpu.text.entity_linking import (
+            EntityLinker,
+            OfflineEntityLinker,
+            build_entity_cache,
+            load_entity_cache,
+        )
+
+        if not os.path.exists(args.entity_cache):
+            linker = None
+            if args.wiki_store:
+                linker = OfflineEntityLinker(args.wiki_store,
+                                             args.entity_threshold)
+            else:
+                rel = EntityLinker(".", threshold=args.entity_threshold)
+                linker = rel if rel.available else None
+            if linker is not None:
+                from vault_tpu.data.datasets import read_twitter201x
+
+                kinds = (list(args.train_split) + list(args.dev_split or [])
+                         + list(args.test_split or []))
+                targets = [e.target for e in read_twitter201x(args.dir, kinds)]
+                build_entity_cache(args.entity_cache, targets, linker)
+
+        cache = load_entity_cache(args.entity_cache) or {}
+        for tgt, (entity, desc) in cache.items():
+            if entity and desc:
+                token = f"[{entity}]"
+                if tokenizer.add_tokens([token]) == 1:
+                    entity_descriptions.append(desc)
+                entity_map[tgt] = token
+
+    if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
+        # after entity tokens, so per-rep embedding growth (entity max-pool
+        # rows first, then the random $T$ row) lines up with token ids
+        tokenizer.add_tokens(["$T$"])
+
+    mk = lambda kinds, on_fetch=False: TomBertTmscDataset(
         args.dir, kinds, processor, image_dir=args.image_dir,
         max_total_length=max_total, max_target_length=args.max_target_length,
-        crop_size=args.crop_size)
-    train_ds = mk(args.train_split)
+        crop_size=args.crop_size, preprocess_on_fetch=on_fetch,
+        num_workers=args.max_num_workers, entity_map=entity_map or None)
+    train_ds = mk(args.train_split, on_fetch=args.preprocess_on_fetch)
     dev_ds = mk(args.dev_split) if args.dev_split else None
     test_ds = mk(args.test_split) if args.test_split else None
     n_classes = len(train_ds.label_mapping)
@@ -128,22 +221,89 @@ def main():
             "lr": args.lr, "pooling": args.pooling,
             "resnet_depth": args.resnet_depth,
         })
+        if args.model == "TomBERT" and args.tweet_model_name_or_path:
+            # reference names TomBERT runs by the tweet checkpoint too
+            # (experiments/tmsc_tombert.py:188-195)
+            handler.set_param(
+                "tweet_model",
+                os.path.basename(args.tweet_model_name_or_path))
         if args.description:
             handler.set_param("description", args.description,
                               disabled=True)
-        handler.set_name_params(["vilt_model", "dataset", "bert_model",
-                                 "use_tweet_bert"])
+        name_params = ["vilt_model", "dataset", "bert_model",
+                       "use_tweet_bert"]
+        if args.model == "TomBERT" and args.tweet_model_name_or_path:
+            name_params.insert(2, "tweet_model")
+        handler.set_name_params(name_params)
 
         rng = jax.random.PRNGKey(args.seed + rep)
-        if args.model == "TomBERT":
-            params = init_tombert(rng, text_cfg, n_classes, args.pooling,
-                                  vis_dim, args.num_hidden_cross_layers,
-                                  resnet_depth=args.resnet_depth)
+        from vault_tpu.models.bert import grow_word_embeddings
+        from vault_tpu.models.pretrained import (
+            load_bert_tower,
+            load_resnet_tower,
+        )
+        from vault_tpu.text.entity_linking import (
+            integrate_entities_into_embeddings,
+        )
 
-            def apply_fn(p, batch, deterministic, rng):
+        resnet_params = (load_resnet_tower(args.resnet_weights,
+                                           args.resnet_depth)
+                         if args.resnet_weights else None)
+
+        def grow_towers(tree, keys):
+            """Entity max-pool rows + random $T$ row, in token-id order, for
+            the named BERT towers (reference resize_token_embeddings,
+            tombert/model.py:185-187 / tomvilt/model.py:173-175)."""
+            for k in keys:
+                emb = tree[k]["embeddings"]
+                word = emb["word"]
+                if entity_descriptions:
+                    word = integrate_entities_into_embeddings(
+                        word, entity_descriptions, tokenizer)
+                tree[k] = {**tree[k], "embeddings": {**emb, "word": word}}
+                if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
+                    tree[k] = grow_word_embeddings(
+                        tree[k], len(tokenizer), jax.random.fold_in(rng, 11))
+            return tree
+
+        if args.model == "TomBERT":
+            from vault_tpu.models.tombert import init_tombert_from_bert
+
+            tweet_cfg = text_cfg
+            if os.path.isdir(args.model_name_or_path):
+                # the reference's from_pretrained surgery: one BERT seeds
+                # all four text stacks; a separate tweet checkpoint feeds
+                # the tweet+target towers (tombert/model.py:131-183)
+                bert_params = load_bert_tower(args.model_name_or_path,
+                                              text_cfg)
+                tweet_params = None
+                if args.tweet_model_name_or_path and \
+                        os.path.isdir(args.tweet_model_name_or_path):
+                    tweet_cfg = text_config_from_name(
+                        args.tweet_model_name_or_path)
+                    tweet_params = load_bert_tower(
+                        args.tweet_model_name_or_path, tweet_cfg)
+                params = init_tombert_from_bert(
+                    bert_params, rng, text_cfg, n_classes, args.pooling,
+                    vis_dim, args.num_hidden_cross_layers,
+                    resnet_params=resnet_params, tweet_params=tweet_params)
+                if "resnet" not in params:
+                    params["resnet"] = init_resnet(
+                        jax.random.fold_in(rng, 99), args.resnet_depth)
+            else:
+                params = init_tombert(rng, text_cfg, n_classes, args.pooling,
+                                      vis_dim, args.num_hidden_cross_layers,
+                                      resnet_depth=args.resnet_depth)
+                if resnet_params is not None:
+                    params["resnet"] = resnet_params
+            params = grow_towers(params, ["tweet_bert", "target_bert"])
+
+            def apply_fn(p, batch, deterministic, rng,
+                         _tweet_cfg=tweet_cfg):
                 return tombert_apply(p, text_cfg, pooling=args.pooling,
                                      resnet_depth=args.resnet_depth,
                                      train_image_encoder=args.train_image_encoder,
+                                     tweet_cfg=_tweet_cfg,
                                      deterministic=deterministic, rng=rng,
                                      **batch)
         else:
@@ -159,11 +319,63 @@ def main():
             params = init_tomvilt(rng, vault_cfg, text_cfg, n_classes,
                                   vis_dim, args.num_hidden_cross_layers,
                                   resnet_depth=args.resnet_depth)
+            # pretrained seeding from local checkpoint dirs (reference
+            # tomvilt/model.py:114-171: ViLT + BERT into the VAuLT core,
+            # BERT into the target tower)
+            vilt_dir = (args.vilt_model_name_or_path
+                        if os.path.isdir(args.vilt_model_name_or_path) else None)
+            bert_dir = (args.model_name_or_path
+                        if os.path.isdir(args.model_name_or_path) else None)
+            if vilt_dir or (args.use_tweet_bert and bert_dir):
+                from vault_tpu.models.pretrained import load_vault_backbone
 
-            def apply_fn(p, batch, deterministic, rng):
-                return tomvilt_apply(p, vault_cfg, text_cfg,
+                backbone = load_vault_backbone(
+                    vault_cfg, jax.random.fold_in(rng, 3), vilt_dir,
+                    bert_dir if args.use_tweet_bert else None)
+                params["vault"] = {**params["vault"], **backbone}
+            if os.path.isdir(args.model_name_or_path):
+                params["target_bert"] = load_bert_tower(
+                    args.model_name_or_path, text_cfg)
+            if resnet_params is not None:
+                params["resnet"] = resnet_params
+
+            run_vault_cfg = vault_cfg
+            params = grow_towers(params, ["target_bert"])
+            if entity_descriptions:
+                tgt = "bert" if run_vault_cfg.text_tower is not None else "vilt"
+                ek = "embeddings" if tgt == "bert" else "text_embeddings"
+                table = integrate_entities_into_embeddings(
+                    params["vault"][tgt][ek]["word"],
+                    entity_descriptions, tokenizer)
+                params["vault"] = {**params["vault"],
+                                   tgt: {**params["vault"][tgt],
+                                         ek: {**params["vault"][tgt][ek],
+                                              "word": table}}}
+                import dataclasses
+                if tgt == "bert":
+                    run_vault_cfg = dataclasses.replace(
+                        run_vault_cfg,
+                        text_tower=dataclasses.replace(
+                            run_vault_cfg.text_tower,
+                            vocab_size=table.shape[0]))
+                else:
+                    run_vault_cfg = dataclasses.replace(
+                        run_vault_cfg,
+                        vilt=dataclasses.replace(run_vault_cfg.vilt,
+                                                 vocab_size=table.shape[0]))
+            if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
+                from vault_tpu.models.vault import resize_token_embeddings
+
+                params["vault"], run_vault_cfg = resize_token_embeddings(
+                    params["vault"], run_vault_cfg, len(tokenizer),
+                    jax.random.fold_in(rng, 11))
+
+            def apply_fn(p, batch, deterministic, rng,
+                         _cfg=run_vault_cfg):
+                return tomvilt_apply(p, _cfg, text_cfg,
                                      resnet_depth=args.resnet_depth,
                                      train_image_encoder=args.train_image_encoder,
+                                     head_dropout=args.vilt_dropout_prob,
                                      deterministic=deterministic, rng=rng,
                                      **batch)
 

@@ -27,6 +27,14 @@ GENERAL_ARGS = dict(
 
 TRAINER_ARGS = dict(
     early_stopping_patience=dict(type=int, help="early stopping patience"),
+    disable_tqdm=dict(action="store_true", help="disable tqdm progress bars"),
+    device=dict(default=None, type=str, choices=["cpu", "tpu"],
+                help="pin the jax platform (reference --device, "
+                     "vault/tmsc_utils/trainer.py:58; default: whatever "
+                     "jax selects — TPU when available)"),
+    max_num_workers=dict(default=0, type=int,
+                         help="worker threads for image decode in lazy "
+                              "datasets (reference DataLoader num_workers)"),
     early_stopping_delta=dict(default=0.0, type=float,
                               help="min improvement to reset patience"),
     model_save=dict(action="store_true", help="whether to save model"),
@@ -71,6 +79,21 @@ TRAINER_ARGS = dict(
 )
 
 
+def apply_device_arg(args):
+    """Honor ``--device`` by pinning the jax platform BEFORE the first op
+    (must run before any jax array is created; see docs/NOTES.md on the
+    axon sitecustomize override)."""
+    device = getattr(args, "device", None)
+    if device:
+        import os
+
+        if device == "cpu":
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
+
+        jax.config.update("jax_platforms", device)
+
+
 def trainer_args_from_namespace(args, **overrides):
     from vault_tpu.training.trainer import TrainArgs
 
@@ -91,7 +114,7 @@ def trainer_args_from_namespace(args, **overrides):
         remat=not args.no_remat, compute_dtype=args.compute_dtype,
         opt_state_dtype=args.opt_state_dtype, zero_opt=args.zero_opt,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
-        rng_impl=args.rng_impl,
+        rng_impl=args.rng_impl, disable_tqdm=args.disable_tqdm,
     )
     kw.update(overrides)
     return TrainArgs(**kw)

@@ -18,23 +18,27 @@ VILT=${VILT_DIR:-dandelin/vilt-b32-mlm}
 BERT=${BERT_DIR:-bert-base-uncased}
 BERTWEET=${BERTWEET_DIR:-vinai/bertweet-base}
 
+# Reference's ACTIVE legs (:27-50): Twitter twitter2015/twitter with
+# BERTweet only (bert-base legs are commented out upstream), 15 epochs,
+# merged train+dev; Bloomberg with bert-base (15 epochs) and BERTweet (8),
+# batch 16 + augmentation.  MVSA frozen legs are commented out upstream.
 if [ -n "$TWITTER" ]; then
   for ds in twitter2015 twitter; do
-    for bert in "$BERT" "$BERTWEET"; do
-      python experiments/clsf_vault.py Twitter201X \
-        --dir "$TWITTER/$ds" --train_split train --dev_split dev \
-        --test_split test --vilt_model_name_or_path "$VILT" \
-        --bert_model_name_or_path "$bert" --freeze_lm \
-        --num_train_epochs 25 --early_stopping_patience 5 --reps "$REPS"
-    done
+    python experiments/clsf_vault.py Twitter201X \
+      --dir "$TWITTER/$ds" --train_split train dev --test_split test \
+      --vilt_model_name_or_path "$VILT" \
+      --bert_model_name_or_path "$BERTWEET" --freeze_lm \
+      --preprocess_on_fetch --num_train_epochs 15 --reps "$REPS" $EXTRA_FLAGS
   done
 fi
 
 if [ -n "$BLOOMBERG" ]; then
-  for bert in "$BERT" "$BERTWEET"; do
+  for spec in "$BERT:15" "$BERTWEET:8"; do
+    bert=${spec%:*}; epochs=${spec##*:}
     python experiments/clsf_vault.py Bloomberg \
       --root_dir "$BLOOMBERG" --bert_model_name_or_path "$bert" --freeze_lm \
-      --train_batch_size 16 --num_train_epochs 8 \
-      --early_stopping_patience 5 --reps "$REPS"
+      --train_split train dev --test_split test --image_augmentation \
+      --train_batch_size 16 --num_train_epochs "$epochs" \
+      --reps "$REPS" $EXTRA_FLAGS
   done
 fi

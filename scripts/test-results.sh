@@ -40,18 +40,24 @@ VILT=${VILT_DIR:-dandelin/vilt-b32-mlm}
 BERT=${BERT_DIR:-bert-base-uncased}
 BERTWEET=${BERTWEET_DIR:-vinai/bertweet-base}
 
+# Reference recipe facts (scripts/test-results.sh:18-99): ALL legs train on
+# the merged train+dev splits with test for final eval (no dev eval / early
+# stopping), Twitter augments via --preprocess_on_fetch, Bloomberg/MVSA use
+# --image_augmentation + batch 16, MVSA adds --max_num_workers 5; epochs
+# vary per (dataset, LM) pair — tables below.
+
 run_tmsc () {  # $1=dataset dir under twitter root, $2=bert flag(s), $3=epochs
   python experiments/clsf_vault.py Twitter201X \
-    --dir "$TWITTER/$1" --train_split train --dev_split dev --test_split test \
+    --dir "$TWITTER/$1" --train_split train dev --test_split test \
     --vilt_model_name_or_path "$VILT" $2 \
-    --num_train_epochs "$3" --early_stopping_patience 5 \
+    --preprocess_on_fetch --num_train_epochs "$3" \
     --reps "$REPS" $EXTRA_FLAGS
 }
 
 if [ -n "$TWITTER" ]; then
   for ds in twitter2015 twitter; do
     for v in $VARIANTS; do
-      [ "$v" = none ] && epochs=15 || epochs=25
+      [ "$v" = bert ] && epochs=25 || epochs=15   # :20-45
       run_tmsc "$ds" "$(variant_flag $v)" "$epochs"
     done
   done
@@ -59,9 +65,11 @@ fi
 
 if [ -n "$BLOOMBERG" ]; then
   for v in $VARIANTS; do
+    [ "$v" = bert ] && epochs=15 || epochs=8     # :47-63
     python experiments/clsf_vault.py Bloomberg \
       --root_dir "$BLOOMBERG" $(variant_flag $v) \
-      --train_batch_size 16 --num_train_epochs 8 --early_stopping_patience 5 \
+      --train_split train dev --test_split test --image_augmentation \
+      --train_batch_size 16 --num_train_epochs "$epochs" \
       --reps "$REPS" $EXTRA_FLAGS
   done
 fi
@@ -70,9 +78,19 @@ if [ -n "$MVSA" ]; then
   for root in "$MVSA/MVSA_Single" "$MVSA/MVSA"; do
     [ -d "$root" ] || continue
     for v in $VARIANTS; do
+      case "$(basename $root):$v" in                 # :67-99
+        MVSA_Single:none) epochs=15 ;;
+        MVSA_Single:bert) epochs=15 ;;
+        MVSA_Single:bertweet) epochs=9 ;;
+        *:none) epochs=2 ;;
+        *:bert) epochs=3 ;;
+        *:bertweet) epochs=2 ;;
+      esac
       python experiments/clsf_vault.py MVSA \
         --root_dir "$root" --preprocessed $(variant_flag $v) \
-        --num_train_epochs 9 --early_stopping_patience 5 \
+        --train_split train dev --test_split test --image_augmentation \
+        --train_batch_size 16 --max_num_workers 5 \
+        --num_train_epochs "$epochs" \
         --reps "$REPS" $EXTRA_FLAGS
     done
   done

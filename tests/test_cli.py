@@ -80,13 +80,26 @@ def test_clsf_vault_entity_cache(tmp_path):
 
 
 def test_tmsc_tombert_cli(tmp_path):
+    """TomBERT driver incl. the reference's flag surface: placeholder
+    token, per-fetch preprocessing, entity cache, decode workers
+    (reference experiments/tmsc_tombert.py:31-49)."""
+    import json
+
     data_dir = _make_twitter(tmp_path)
     logs = str(tmp_path / "logs")
+    cache = tmp_path / "entities.json"
+    cache.write_text(json.dumps({
+        "target 0": ["Target_Zero", "a tweet about stuff"],
+        "target 1": [None, None],
+    }))
     res = _run([sys.executable, "experiments/tmsc_tombert.py", "TomBERT",
                 "--dir", data_dir, "--train_split", "train",
                 "--dev_split", "dev",
                 "--debug_tiny", "--num_train_epochs", "1",
                 "--train_batch_size", "4", "--eval_batch_size", "4",
+                "--add_placeholder_token", "--preprocess_on_fetch",
+                "--max_num_workers", "2", "--disable_tqdm",
+                "--entity_cache", str(cache),
                 "--experiment_root", logs])
     assert res.returncode == 0, res.stderr[-3000:]
     assert os.listdir(os.path.join(logs, "TomBERTTMSC"))
@@ -98,6 +111,8 @@ def test_tmsc_tomvilt_cli(tmp_path):
     res = _run([sys.executable, "experiments/tmsc_tombert.py", "TomViLT",
                 "--dir", data_dir, "--train_split", "train",
                 "--use_tweet_bert", "--debug_tiny", "--num_train_epochs", "1",
+                "--vilt_dropout_prob", "0.1", "--mm_pooling", "first",
+                "--add_placeholder_token",
                 "--train_batch_size", "4", "--experiment_root", logs])
     assert res.returncode == 0, res.stderr[-3000:]
     assert os.listdir(os.path.join(logs, "TomViLTTMSC"))
@@ -150,6 +165,7 @@ def test_mvsa_cli_preprocessed_and_freeze_lm(tmp_path):
     logs = str(tmp_path / "logs")
     res = _run([sys.executable, "experiments/clsf_vault.py", "MVSA",
                 "--root_dir", root, "--preprocessed",
+                "--train_split", "train", "dev", "--test_split", "test",
                 "--bert_model_name_or_path", "bert-base-uncased",
                 "--vilt_internal_dropout_prob", "0.1",  # the wired intent
                 "--freeze_lm", "--debug_tiny", "--num_train_epochs", "1",
@@ -158,6 +174,8 @@ def test_mvsa_cli_preprocessed_and_freeze_lm(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     run_dirs = os.listdir(os.path.join(logs, "VaultTMSCMVSA"))
     assert len(run_dirs) == 1
+    # the recipe's merged train+dev drives the run-dir name, mirroring the
+    # reference dataset name semantics (vault/vl_utils/dataset.py)
     assert "MVSA_Single(train;dev)" in run_dirs[0]
 
 

@@ -373,3 +373,52 @@ def test_orientation_buckets_num_batches_matches_yield(tmp_path):
                                rng=np.random.default_rng(0)))) == 5
     ds_plain = VisionLanguageDataset(ids, texts, paths, labels, proc)
     assert ds_plain.num_batches(2) == 4
+
+
+def test_twitter_dataset_entity_map_reaches_encoding(twitter_dir):
+    """Entity tokens must appear in the ENCODED text, not just the
+    tokenizer: the reference appends "/[entity]" to each linked target
+    before encode_plus (vault/tmsc_utils/dataset.py:260-283)."""
+    tok = _tok()
+    assert tok.add_tokens(["[The_Fox]"]) == 1
+    ent_id = tok.added_tokens["[The_Fox]"]
+    proc = VaultProcessor(tok, max_length=16, canvas=(64, 64))
+    ds = Twitter201XDataset(twitter_dir, "train", proc, max_length=16,
+                            entity_map={"the fox": "[The_Fox]"})
+    (feats, _), = list(ds.batches(8))
+    assert ent_id in feats["input_ids"][0].tolist()  # "the fox" row
+    assert ent_id not in feats["input_ids"][1].tolist()  # unlinked target
+
+
+def test_vl_dataset_parallel_decode_matches_serial(tmp_path):
+    d = tmp_path / "imgs3"
+    d.mkdir()
+    paths = []
+    for i in range(6):
+        p = str(d / f"i{i}.jpg")
+        _img(p, size=(50 + i, 60), color=(i * 30 % 255, 10, 5))
+        paths.append(p)
+    ids = [str(i) for i in range(6)]
+    labels = np.arange(6, dtype=np.int32)
+    proc = VaultProcessor(_tok(), max_length=8, canvas=(64, 64))
+    mk = lambda nw: VisionLanguageDataset(
+        ids, ["the fox"] * 6, paths, labels, proc, lazy=True, num_workers=nw)
+    serial = list(mk(0).batches(3))
+    threaded = list(mk(3).batches(3))
+    for (fa, la), (fb, lb) in zip(serial, threaded):
+        assert la.tolist() == lb.tolist()
+        np.testing.assert_array_equal(fa["pixel_values"], fb["pixel_values"])
+
+
+def test_tombert_dataset_preprocess_on_fetch_matches_eager(twitter_dir):
+    from vault_tpu.data.tombert_dataset import TomBertTmscDataset
+
+    proc = _proc()
+    eager = TomBertTmscDataset(twitter_dir, "train", proc, crop_size=32)
+    lazy = TomBertTmscDataset(twitter_dir, "train", proc, crop_size=32,
+                              preprocess_on_fetch=True, num_workers=2)
+    (fe, le), = list(eager.batches(8))
+    (fl, ll), = list(lazy.batches(8))
+    assert le.tolist() == ll.tolist()
+    np.testing.assert_allclose(fe["images"], fl["images"], atol=1e-5)
+    assert lazy._err_count == eager._err_count  # fallback image counted once

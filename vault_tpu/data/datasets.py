@@ -111,7 +111,8 @@ class Twitter201XDataset:
                  label_mapping: Optional[Dict[str, int]] = None,
                  augment: bool = False, lazy_images: bool = False,
                  text_preprocessor: Optional[Callable] = None,
-                 orientation_buckets: bool = False):
+                 orientation_buckets: bool = False, num_workers: int = 0,
+                 entity_map: Optional[Dict[str, str]] = None):
         if isinstance(kinds, str):
             kinds = [kinds]
         self.kinds = list(kinds)
@@ -123,15 +124,26 @@ class Twitter201XDataset:
         assert max_length <= 40, "ViLT text constraint (vault/models/vault/dataset.py:188)"
         self.augment = augment
         self.orientation_buckets = orientation_buckets
+        self.num_workers = num_workers
         self.examples = read_twitter201x(dir, kinds)
         labels = sorted({e.label for e in self.examples})
         self.label_mapping = label_mapping or {l: i for i, l in enumerate(labels)}
         self.text_preprocessor = text_preprocessor or (lambda x: x)
 
         sep = getattr(processor.tokenizer, "sep_token", "[SEP]")
+        # entity_map: target -> "[entity]" token; linked targets carry their
+        # entity token in the encoded text, the reference's
+        # ``example.target += "/" + token`` (vault/tmsc_utils/dataset.py:
+        # 260-283)
+        emap = entity_map or {}
+
+        def _target_text(e):
+            t = self.text_preprocessor(e.target)
+            tok = emap.get(e.target)
+            return t + "/" + tok if tok else t
+
         self.texts = [
-            self.text_preprocessor(e.targetless_tweet) + sep
-            + self.text_preprocessor(e.target)
+            self.text_preprocessor(e.targetless_tweet) + sep + _target_text(e)
             for e in self.examples
         ]
         self.labels = np.asarray(
@@ -168,6 +180,18 @@ class Twitter201XDataset:
         self._err_count += int(err)
         return img
 
+    def _fetch_images(self, sel):
+        if self._images is not None:
+            return [self._images[i] for i in sel]
+        from vault_tpu.data.loader import parallel_map
+
+        pairs = parallel_map(
+            lambda i: load_image_with_fallback(self.image_dir,
+                                               self.examples[i].image_bn),
+            list(sel), self.num_workers)
+        self._err_count += sum(int(err) for _, err in pairs)
+        return [img for img, _ in pairs]
+
     def _canvas_keys(self):
         if getattr(self, "_canvas_keys_cache", None) is None:
             from vault_tpu.data.image import canvas_key
@@ -196,7 +220,7 @@ class Twitter201XDataset:
         for sel in _index_batches(self.num_examples, batch_size, shuffle,
                                   rng, keys):
             feats = {k: v[sel] for k, v in self._text_enc.items()}
-            images = [self._raw_image(i) for i in sel]
+            images = self._fetch_images(sel)
             aug = rng if (train and self.augment) else None
             pv, pm = self.processor.encode_images(images, augment_rng=aug)
             feats["pixel_values"] = pv
@@ -356,12 +380,13 @@ class VisionLanguageDataset:
                  name: str = "vl", max_length: int = 40, lazy: bool = False,
                  augment: bool = False,
                  text_preprocessor: Optional[Callable] = None,
-                 orientation_buckets: bool = False):
+                 orientation_buckets: bool = False, num_workers: int = 0):
         pre = text_preprocessor or (lambda x: x)
         self.name = name
         self.processor = processor
         self.augment = augment
         self.orientation_buckets = orientation_buckets
+        self.num_workers = num_workers
         # multi-text-per-image flattening (the reference's effective_inds,
         # vault/vl_utils/dataset.py:136-141): a list entry per image may be a
         # list of texts; each text becomes an example re-using its image.
@@ -419,7 +444,11 @@ class VisionLanguageDataset:
         for sel in _index_batches(self.num_examples, batch_size, shuffle,
                                   rng, keys):
             feats = {k: v[sel] for k, v in self._text_enc.items()}
-            images = [self._raw_image(i) for i in sel]
+            from vault_tpu.data.loader import parallel_map
+
+            images = parallel_map(self._raw_image, list(sel),
+                                  0 if self._images is not None
+                                  else self.num_workers)
             aug = rng if (train and self.augment) else None
             pv, pm = self.processor.encode_images(images, augment_rng=aug)
             feats["pixel_values"] = pv

@@ -98,6 +98,27 @@ def peek_image_size(path: str) -> Tuple[int, int]:
     return h, w
 
 
+_decode_pools: dict = {}
+
+
+def parallel_map(fn, items, num_workers: int = 0):
+    """Map ``fn`` over ``items``, optionally on a shared worker-thread pool —
+    the parallel-decode role of the reference's
+    ``DataLoader(num_workers=max_num_workers)``
+    (vault/tmsc_utils/trainer.py:290-310).  PIL/numpy image decode releases
+    the GIL, so threads (not processes) are the right tool here."""
+    if not num_workers or len(items) <= 1:
+        return [fn(x) for x in items]
+    pool = _decode_pools.get(num_workers)
+    if pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = _decode_pools.setdefault(
+            num_workers,
+            ThreadPoolExecutor(num_workers, thread_name_prefix="vault-decode"))
+    return list(pool.map(fn, items))
+
+
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetch: overlaps host-side batch assembly (image
     decode/resize, tokenization) with device compute — the role the

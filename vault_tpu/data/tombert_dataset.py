@@ -42,7 +42,9 @@ class TomBertTmscDataset:
     def __init__(self, dir: str, kinds: Union[str, Sequence[str]], processor,
                  image_dir: Optional[str] = None, max_total_length: int = 64,
                  max_target_length: int = 16, crop_size: int = 224,
-                 label_mapping: Optional[Dict[str, int]] = None):
+                 label_mapping: Optional[Dict[str, int]] = None,
+                 preprocess_on_fetch: bool = False, num_workers: int = 0,
+                 entity_map: Optional[Dict[str, str]] = None):
         import os
 
         if isinstance(kinds, str):
@@ -58,7 +60,12 @@ class TomBertTmscDataset:
             [self.label_mapping[e.label] for e in self.examples], np.int32)
 
         tweets = [e.targetless_tweet for e in self.examples]
-        targets = [e.target for e in self.examples]
+        # entity_map: target -> "[entity]" token appended to the target
+        # surface before encoding (reference entity_integration,
+        # vault/tmsc_utils/dataset.py:260-283)
+        emap = entity_map or {}
+        targets = [e.target + "/" + emap[e.target] if e.target in emap
+                   else e.target for e in self.examples]
         pair_enc = processor.encode_text(tweets, targets,
                                          max_length=max_total_length)
         tgt_enc = processor.encode_text(targets, max_length=max_target_length)
@@ -71,12 +78,20 @@ class TomBertTmscDataset:
             "target_type_ids": tgt_enc["token_type_ids"],
         }
         self._err_count = 0
-        imgs = []
-        for e in self.examples:
-            img, err = load_image_with_fallback(self.image_dir, e.image_bn)
-            self._err_count += int(err)
-            imgs.append(imagenet_preprocess(img, crop_size))
-        self.images: Optional[np.ndarray] = np.stack(imgs)
+        self.num_workers = num_workers
+        # preprocess_on_fetch (reference vault/models/tombert/dataset.py flag):
+        # decode + transform per fetch instead of eagerly at init.  The
+        # reference's transform is deterministic (Resize+CenterCrop, :255-300
+        # — its docstring questions the original TomBERT random crop), so
+        # this is purely a memory/CPU-overlap tradeoff, not augmentation.
+        self.images: Optional[np.ndarray] = None
+        if not preprocess_on_fetch:
+            imgs = []
+            for e in self.examples:
+                img, err = load_image_with_fallback(self.image_dir, e.image_bn)
+                self._err_count += int(err)
+                imgs.append(imagenet_preprocess(img, crop_size))
+            self.images = np.stack(imgs)
         self.embeddings: Optional[np.ndarray] = None
 
     @property
@@ -101,6 +116,17 @@ class TomBertTmscDataset:
             feats = {k: v[sel] for k, v in self.features.items()}
             if self.embeddings is not None:
                 feats["visual_embeddings"] = self.embeddings[sel]
-            else:
+            elif self.images is not None:
                 feats["images"] = self.images[sel]
+            else:  # preprocess_on_fetch: decode + transform lazily
+                from vault_tpu.data.loader import parallel_map
+
+                def load(i):
+                    img, err = load_image_with_fallback(
+                        self.image_dir, self.examples[i].image_bn)
+                    return imagenet_preprocess(img, self.crop_size), err
+
+                pairs = parallel_map(load, list(sel), self.num_workers)
+                self._err_count += sum(int(e) for _, e in pairs)
+                feats["images"] = np.stack([im for im, _ in pairs])
             yield feats, self.labels[sel]

@@ -73,6 +73,23 @@ def init_bert(rng, cfg: TextTowerConfig):
     return {"embeddings": embeddings, "layers": layers}
 
 
+def grow_word_embeddings(bert_params, new_size: int, rng=None,
+                         stddev: float = 0.02):
+    """Grow a BERT tower's word table to ``new_size`` rows (new rows
+    normal(0, stddev)) — HF resize_token_embeddings semantics, used by
+    TomBERT's resize (reference vault/models/tombert/model.py:185-187)."""
+    table = bert_params["embeddings"]["word"]
+    old, dim = table.shape
+    if new_size <= old:
+        return bert_params
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    extra = jax.random.normal(rng, (new_size - old, dim), table.dtype) * stddev
+    return {**bert_params,
+            "embeddings": {**bert_params["embeddings"],
+                           "word": jnp.concatenate([table, extra], axis=0)}}
+
+
 # ---------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------

@@ -123,6 +123,28 @@ def load_vault_backbone(cfg: VaultConfig, rng,
     return params
 
 
+def load_bert_tower(model_dir: str, cfg: TextTowerConfig):
+    """One BERT/RoBERTa tower from a local HF checkpoint dir — the building
+    block of TomBERT's from_pretrained surgery
+    (vault/models/tombert/model.py:131-183)."""
+    sd, _ = _strip_known_prefixes(load_torch_state_dict(model_dir))
+    return bert_params_from_torch(sd, cfg)
+
+
+def load_resnet_tower(weights_path: str, depth: int):
+    """torchvision ResNet state-dict (.pth) -> our param tree; the
+    no-egress stand-in for the reference's ``pretrained=True`` ResNets
+    (vault/modules.py:210-308)."""
+    import torch
+
+    from vault_tpu.models.resnet import resnet_params_from_torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return resnet_params_from_torch(sd, depth)
+
+
 def build_tokenizer(name_or_path: str, max_length: int = 40):
     """Native WordPiece from a local vocab.txt; HF AutoTokenizer for other
     local formats (BERTweet BPE); fresh minimal WordPiece otherwise."""

@@ -60,13 +60,17 @@ def init_tombert_from_bert(bert_params, rng, cfg: TextTowerConfig,
                            n_classes: int = 3, pooling: str = "first",
                            vis_emb_dim: int = 2048,
                            num_hidden_cross_layers: Optional[int] = None,
-                           resnet_params=None):
+                           resnet_params=None, tweet_params=None):
     """The reference's weight surgery: one pretrained BERT seeds all four
-    text stacks (vault/models/tombert/model.py:162-176)."""
+    text stacks (vault/models/tombert/model.py:162-176).  ``tweet_params``
+    mirrors ``pretrained_tweet_model_name_or_path`` (:154-160): when given,
+    the tweet AND target towers take those weights instead, while the
+    multimodal/cross encoders still seed from ``bert_params``."""
     params = init_tombert(rng, cfg, n_classes, pooling, vis_emb_dim,
                           num_hidden_cross_layers)
-    params["tweet_bert"] = jax.tree.map(jnp.copy, bert_params)
-    params["target_bert"] = jax.tree.map(jnp.copy, bert_params)
+    towers = tweet_params if tweet_params is not None else bert_params
+    params["tweet_bert"] = jax.tree.map(jnp.copy, towers)
+    params["target_bert"] = jax.tree.map(jnp.copy, towers)
     params["mm_encoder"] = {"layers": jax.tree.map(jnp.copy, bert_params["layers"])}
     n_cross = jax.tree.leaves(params["cross"]["layers"])[0].shape[0]
     n_bert = jax.tree.leaves(bert_params["layers"])[0].shape[0]
@@ -83,10 +87,16 @@ def tombert_apply(params, cfg: TextTowerConfig, input_ids, target_input_ids,
                   target_type_ids=None, attention_mask=None,
                   target_attention_mask=None, pooling: str = "first",
                   resnet_depth: int = 101, train_image_encoder: bool = False,
+                  tweet_cfg: "TextTowerConfig | None" = None,
                   deterministic=True, rng=None, return_embeddings=False):
     """TomBertForTMSC.forward (+ ResNet wrapper) equivalent
-    (vault/models/tombert/model.py:199-332, 394-447)."""
+    (vault/models/tombert/model.py:199-332, 394-447).  ``tweet_cfg``
+    supports the reference's separate tweet checkpoint
+    (``tweet_model_name_or_path``, model.py:154-160: tweet AND target
+    towers both come from that model); hidden sizes must match since the
+    pooled visual token joins the tweet sequence."""
     rngs = (jax.random.split(rng, 5) if rng is not None else [None] * 5)
+    tweet_cfg = tweet_cfg or cfg
 
     if visual_embeddings is None:
         visual_embeddings = resnet_embed(params["resnet"], resnet_depth,
@@ -94,11 +104,12 @@ def tombert_apply(params, cfg: TextTowerConfig, input_ids, target_input_ids,
     n_regions = visual_embeddings.shape[1]
 
     tweet_out = bert_mod.bert_apply(
-        params["tweet_bert"], cfg, input_ids, attention_mask, token_type_ids,
-        deterministic=deterministic, rng=rngs[0])
+        params["tweet_bert"], tweet_cfg, input_ids, attention_mask,
+        token_type_ids, deterministic=deterministic, rng=rngs[0])
     target_out = bert_mod.bert_apply(
-        params["target_bert"], cfg, target_input_ids, target_attention_mask,
-        target_type_ids, deterministic=deterministic, rng=rngs[1])
+        params["target_bert"], tweet_cfg, target_input_ids,
+        target_attention_mask, target_type_ids,
+        deterministic=deterministic, rng=rngs[1])
 
     # regions are all valid (fixed 7x7 grid) -> image-part bias is zeros
     image_bias = None

@@ -60,10 +60,14 @@ class TomBertTrainer(Trainer):
         feats_fn = _jax.jit(lambda imgs: resnet_features(
             self.resnet_params, self.resnet_depth, imgs))
         embs = []
-        images = dataset.images
         bs = self.args.eval_batch_size
-        for start in range(0, images.shape[0], bs):
-            embs.append(np.asarray(feats_fn(images[start:start + bs])))
+        if dataset.images is not None:
+            images = dataset.images
+            for start in range(0, images.shape[0], bs):
+                embs.append(np.asarray(feats_fn(images[start:start + bs])))
+        else:  # preprocess_on_fetch: stream the lazy decode in index order
+            for feats, _ in dataset.batches(bs, shuffle=False):
+                embs.append(np.asarray(feats_fn(feats["images"])))
         dataset.replace_images_with_embeddings(np.concatenate(embs))
 
     def train(self):

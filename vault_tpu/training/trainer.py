@@ -42,6 +42,18 @@ from vault_tpu.training.optimizer import make_optimizer
 logger = logging.getLogger(__name__)
 
 
+def _progress(iterator, disable: bool, **tqdm_kwargs):
+    """tqdm-wrapped iterator (reference bars, vault/tmsc_utils/trainer.py:
+    325-333); plain passthrough when disabled or tqdm is unavailable."""
+    if disable:
+        return iterator
+    try:
+        from tqdm import tqdm
+    except ImportError:  # progress is cosmetic — never a hard dependency
+        return iterator
+    return tqdm(iterator, **tqdm_kwargs)
+
+
 @dataclass
 class TrainArgs:
     """Reference knobs (vault/tmsc_utils/trainer.py:51-91 argparse_args +
@@ -95,6 +107,11 @@ class TrainArgs:
     resume: bool = False
     # host/device overlap: batches assembled on a background thread
     prefetch_batches: int = 2
+    # tqdm progress bars per epoch/eval (the reference's bars,
+    # vault/tmsc_utils/trainer.py:325-333, with its MyTrainingArguments
+    # ``disable_tqdm`` switch); the postfix shows the last *fetched* window
+    # loss only — no extra host syncs are introduced
+    disable_tqdm: bool = False
     # gradient accumulation: each optimizer step averages grads over this many
     # micro-batches (train_batch_size must be divisible by it) — large
     # effective batches within the HBM budget
@@ -319,7 +336,10 @@ class Trainer:
                 from vault_tpu.data.loader import prefetch
 
                 batch_iter = prefetch(batch_iter, a.prefetch_batches)
-            for batch, labels in batch_iter:
+            pbar = _progress(batch_iter, a.disable_tqdm,
+                             total=steps_per_epoch,
+                             desc=f"epoch {epoch + 1}/{int(a.num_train_epochs)}")
+            for batch, labels in pbar:
                 if step < start_step:  # resume: fast-forward the schedule
                     step += 1
                     continue
@@ -349,6 +369,9 @@ class Trainer:
                     self.window_times.append(
                         (time.perf_counter() - window_t0, window_n))
                     results = dict(train_loss=window_loss / max(window_n, 1))
+                    if hasattr(pbar, "set_postfix"):
+                        pbar.set_postfix(
+                            train_loss=f"{results['train_loss']:.4f}")
                     if self.dev_dataset is not None:
                         results.update(self.evaluate(self.dev_dataset))
                     self.exp_handler.set_dict_metrics(results)
@@ -362,6 +385,8 @@ class Trainer:
                         break
                     self._maybe_checkpoint(step + 1)
                 step += 1
+            if hasattr(pbar, "close"):
+                pbar.close()
 
         # throughput observability (SURVEY.md §5: the pairs/sec counter the
         # reference lacks); first window excluded (contains the compile)
@@ -398,7 +423,10 @@ class Trainer:
         if self._eval_step is None:
             self._build_steps(max(1, self.train_dataset.num_batches(a.train_batch_size)))
         total_loss, preds, trues = 0.0, [], []
-        for batch, labels in dataset.batches(a.eval_batch_size, shuffle=False):
+        for batch, labels in _progress(
+                dataset.batches(a.eval_batch_size, shuffle=False),
+                a.disable_tqdm, total=dataset.num_batches(a.eval_batch_size),
+                desc="eval", leave=False):
             n = labels.shape[0]
             batch_p, labels_p, weight = self._pad(batch, labels)
             logits, loss = self._eval_step(
