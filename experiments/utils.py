@@ -68,6 +68,10 @@ TRAINER_ARGS = dict(
                          "cuts optimizer HBM traffic ~1.7 ms/step at full "
                          "geometry; int8 = blockwise-quantized 8-bit-Adam "
                          "moments, quarter state size; default fp32)"),
+    grad_dtype=dict(default=None, choices=["float32", "bfloat16"], type=str,
+                    help="grad buffer dtype between backward and optimizer "
+                         "(bfloat16 halves that HBM traffic; lossless under "
+                         "bf16 compute)"),
     rng_impl=dict(default=None, choices=["threefry2x32", "rbg"], type=str,
                   help="dropout PRNG: rbg = TPU hardware generator, measured "
                        "467 vs 441 pairs/s at full geometry; default threefry "
@@ -112,7 +116,8 @@ def trainer_args_from_namespace(args, **overrides):
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
         remat=not args.no_remat, compute_dtype=args.compute_dtype,
-        opt_state_dtype=args.opt_state_dtype, zero_opt=args.zero_opt,
+        opt_state_dtype=args.opt_state_dtype, grad_dtype=args.grad_dtype,
+        zero_opt=args.zero_opt,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
         rng_impl=args.rng_impl, disable_tqdm=args.disable_tqdm,
     )

@@ -32,6 +32,7 @@ if os.environ.get("TRAIN_BENCH_RBG", "0") == "1":
 _r = os.environ.get("TRAIN_BENCH_REMAT", "0")
 REMAT = {"0": False, "1": True}.get(_r, _r)   # "dots" = dots_saveable policy
 OPT_DTYPE = os.environ.get("TRAIN_BENCH_OPT_DTYPE")  # e.g. "bfloat16" m/v
+GRAD_BF16 = os.environ.get("TRAIN_BENCH_GRAD_BF16", "0") == "1"
 SEQ = 40
 CANVAS = (384, 608)
 K_LO, K_HI = 2, 8
@@ -75,6 +76,8 @@ def main():
             return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if GRAD_BF16:  # TrainArgs grad_dtype="bfloat16" traffic optimization
+            grads = cast_bf16(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -608,3 +608,51 @@ def test_trainer_with_rbg_rng():
                      exp_handler=ExperimentHandler(d, "rbg"))
         tr.train()
         assert int(tr.opt_state.count) > 0
+
+
+def test_adamw_bf16_grads_track_fp32():
+    """bf16 grad buffers (TrainArgs grad_dtype) must track fp32 grads
+    closely: fp32 update math inside the optimizer either way, so the only
+    difference is the one rounding of each grad leaf."""
+    from vault_tpu.training.optimizer import hf_adamw
+
+    params = {"w": jnp.linspace(-1, 1, 64).reshape(8, 8)}
+
+    def loss(p):
+        return jnp.sum((p["w"] @ p["w"] - jnp.eye(8)) ** 2)
+
+    trajs = {}
+    for bf16_grads in (False, True):
+        tx = hf_adamw(1e-2)
+        p, s = params, tx.init(params)
+        for _ in range(20):
+            g = jax.grad(loss)(p)
+            if bf16_grads:
+                g = jax.tree.map(lambda x: x.astype(jnp.bfloat16), g)
+            u, s = tx.update(g, s, p)
+            assert u["w"].dtype == jnp.float32  # updates stay master dtype
+            p = jax.tree.map(lambda a, b: a + b, p, u)
+        trajs[bf16_grads] = (p, s)
+    np.testing.assert_allclose(trajs[True][0]["w"], trajs[False][0]["w"],
+                               atol=5e-3)
+    assert trajs[True][1].mu["w"].dtype == jnp.float32  # moments stay fp32
+    assert loss(trajs[True][0]) < loss(params)
+
+
+def test_trainer_grad_dtype_bf16_descends(tmp_path):
+    """End-to-end Trainer run with grad_dtype=bfloat16: loss must descend."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    ds = InMemoryDataset(feats, labels)
+    targs = TrainArgs(lr=5e-4, train_batch_size=8, eval_batch_size=8,
+                      num_train_epochs=4, grad_dtype="bfloat16",
+                      disable_tqdm=True)
+    handler = ExperimentHandler(str(tmp_path), "GradDtype")
+    tr = Trainer(apply_fn, params, targs, ds, dev_dataset=ds,
+                 exp_handler=handler)
+    tr.train()
+    m = handler._series["train_loss"]
+    assert m[-1] < m[0]

@@ -159,11 +159,15 @@ def hf_adamw(
         if int8_mode:
             return update_q8(grads, state, params)
         count = state.count + 1
+        # moment math always in fp32 — grads may arrive bf16 (TrainArgs
+        # grad_dtype traffic optimization) and moments may be stored reduced
         mu = jax.tree.map(
-            lambda m, g: _round(b1 * m.astype(g.dtype) + (1 - b1) * g),
+            lambda m, g: _round(b1 * m.astype(jnp.float32)
+                                + (1 - b1) * g.astype(jnp.float32)),
             state.mu, grads)
         nu = jax.tree.map(
-            lambda v, g: _round(b2 * v.astype(g.dtype) + (1 - b2) * g * g),
+            lambda v, g: _round(b2 * v.astype(jnp.float32)
+                                + (1 - b2) * jnp.square(g.astype(jnp.float32))),
             state.nu, grads)
         lr, step_size = _step_size(count)
 

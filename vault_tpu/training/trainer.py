@@ -120,6 +120,10 @@ class TrainArgs:
     # traffic at full geometry, docs/BENCHMARKS.md; None = fp32, the
     # accuracy-parity default)
     opt_state_dtype: Optional[str] = None
+    # grad buffer dtype between backward and optimizer ("bfloat16" halves
+    # that read/write traffic; lossless under bf16 compute because the
+    # grads are upcast bf16 matmul outputs — see train_step)
+    grad_dtype: Optional[str] = None
     # ZeRO-1: shard AdamW m/v over the DP mesh axis (parallel/zero.py) —
     # each chip stores 1/N of the moments and does 1/N of the update,
     # with GSPMD inserting the update all-gather
@@ -249,8 +253,6 @@ class Trainer:
                 # micro-batch scan: split the leading axis into k chunks and
                 # average grads (each chunk weighted by its valid-row mass so
                 # padded rows keep contributing nothing)
-                import jax.numpy as jnp
-
                 def split(x):
                     return x.reshape(k, x.shape[0] // k, *x.shape[1:])
 
@@ -274,6 +276,16 @@ class Trainer:
                 denom = jnp.maximum(wsum, 1.0)
                 loss = loss_sum / denom
                 grads = jax.tree.map(lambda g: g / denom, grad_sum)
+            if a.grad_dtype == "bfloat16":
+                # Under bf16 compute the grads carry only bf16 information
+                # (each leaf is a bf16 matmul output upcast by the
+                # cast_compute backward), so storing them fp32 between the
+                # backward and the optimizer is pure HBM traffic; the cast
+                # lets XLA materialize 2-byte buffers.  The optimizer
+                # upcasts per-element (fp32 update math either way).
+                grads = jax.tree.map(
+                    lambda g: g.astype(jnp.bfloat16)
+                    if jnp.issubdtype(g.dtype, jnp.floating) else g, grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # loss-window accumulation stays ON DEVICE: the host loop never
