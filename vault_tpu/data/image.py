@@ -107,12 +107,19 @@ def resize_normalize(image: np.ndarray, out_hw: Tuple[int, int],
                      mean: float = IMAGE_MEAN, std: float = IMAGE_STD) -> np.ndarray:
     """(H, W, C) uint8/float -> (C, out_h, out_w) float32 normalized.
 
-    Host fast path: PIL bicubic (the exact resampler HF's ViltImageProcessor
-    uses — C-optimized, ~20x faster on CPU than the jax resize and
-    bit-matching HF's pixel values for uint8 inputs); jax bicubic fallback
-    for float inputs / PIL-less environments."""
+    Host fast paths, in order: the native C++ core (native/imagecore.cpp —
+    a bit-exact reimplementation of PIL's fixed-point bicubic resample with
+    the normalize/transpose fused in, ~2x the PIL+numpy path), then PIL
+    bicubic (the exact resampler HF's ViltImageProcessor uses, so pixel
+    values bit-match HF for uint8 inputs); jax bicubic fallback for float
+    inputs / PIL-less environments."""
     img = _to_rgb_hwc(image)
     if img.dtype == np.uint8:
+        from vault_tpu.data.native_image import resize_normalize_native
+
+        native = resize_normalize_native(img, out_hw, mean, std)
+        if native is not None:
+            return native
         try:
             from PIL import Image
 
@@ -152,6 +159,22 @@ def preprocess_image(image: np.ndarray, safe: bool = True,
     return resize_normalize(np.asarray(image), (th, tw))
 
 
+def bucket_canvas_from_sizes(sizes: Sequence[Tuple[int, int]],
+                             buckets: Tuple[int, ...] = (SHORTER, 608)
+                             ) -> Tuple[int, int]:
+    """Smallest bucketed canvas covering every (h, w) in ``sizes``."""
+    max_h = max(h for h, _ in sizes)
+    max_w = max(w for _, w in sizes)
+
+    def up(v):
+        for b in buckets:
+            if v <= b:
+                return b
+        return v  # oversized (custom geometry) — use as-is
+
+    return up(max_h), up(max_w)
+
+
 def bucket_canvas(images: Sequence[np.ndarray],
                   buckets: Tuple[int, ...] = (SHORTER, 608)) -> Tuple[int, int]:
     """Smallest bucketed canvas covering every image in the batch.
@@ -162,16 +185,7 @@ def bucket_canvas(images: Sequence[np.ndarray],
     (608, 384), small squares (384, 384), mixed orientations (608, 608).
     Measured on v5e (docs/BENCHMARKS.md): the 608x608 worst case costs +13%
     over (384, 608), so orientation-homogeneous batches win it back."""
-    max_h = max(im.shape[1] for im in images)
-    max_w = max(im.shape[2] for im in images)
-
-    def up(v):
-        for b in buckets:
-            if v <= b:
-                return b
-        return v  # oversized (custom geometry) — use as-is
-
-    return up(max_h), up(max_w)
+    return bucket_canvas_from_sizes([im.shape[1:] for im in images], buckets)
 
 
 def canvas_key(height: int, width: int,
