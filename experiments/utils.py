@@ -76,6 +76,10 @@ TRAINER_ARGS = dict(
                   help="dropout PRNG: rbg = TPU hardware generator, measured "
                        "467 vs 441 pairs/s at full geometry; default threefry "
                        "keeps jax's reproducible streams"),
+    profile_dir=dict(default=None, type=str,
+                     help="write a jax.profiler trace of the second eval "
+                          "window here (first window holds the compile); "
+                          "view with TensorBoard/xprof"),
     zero_opt=dict(action="store_true",
                   help="ZeRO-1: shard AdamW moments 1/N over the DP mesh "
                        "(each chip stores and updates 1/N of the state)"),
@@ -120,6 +124,7 @@ def trainer_args_from_namespace(args, **overrides):
         zero_opt=args.zero_opt,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
         rng_impl=args.rng_impl, disable_tqdm=args.disable_tqdm,
+        profile_dir=args.profile_dir,
     )
     kw.update(overrides)
     return TrainArgs(**kw)

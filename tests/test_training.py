@@ -656,3 +656,25 @@ def test_trainer_grad_dtype_bf16_descends(tmp_path):
     tr.train()
     m = handler._series["train_loss"]
     assert m[-1] < m[0]
+
+
+def test_trainer_profile_dir_writes_trace(tmp_path):
+    """--profile_dir traces the second eval window (SURVEY.md §5 tracing —
+    absent in the reference); the trace directory must contain a plugins/
+    profile dump afterwards."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    ds = InMemoryDataset(feats, labels)
+    prof = str(tmp_path / "trace")
+    targs = TrainArgs(lr=5e-4, train_batch_size=8, eval_batch_size=8,
+                      num_train_epochs=3, profile_dir=prof,
+                      disable_tqdm=True)
+    handler = ExperimentHandler(str(tmp_path / "logs"), "Prof")
+    Trainer(apply_fn, params, targs, ds, exp_handler=handler).train()
+    import glob
+
+    dumps = glob.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+    assert dumps, os.listdir(prof)

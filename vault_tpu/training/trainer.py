@@ -112,6 +112,9 @@ class TrainArgs:
     # ``disable_tqdm`` switch); the postfix shows the last *fetched* window
     # loss only — no extra host syncs are introduced
     disable_tqdm: bool = False
+    # when set, a jax.profiler trace of the SECOND eval window (the first
+    # contains the compile) is written here — view with TensorBoard/xprof
+    profile_dir: Optional[str] = None
     # gradient accumulation: each optimizer step averages grads over this many
     # micro-batches (train_batch_size must be divisible by it) — large
     # effective batches within the HBM budget
@@ -332,6 +335,7 @@ class Trainer:
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
+        profiling = False  # trace window 1 when a.profile_dir is set
         # window_acc is a DEVICE scalar threaded through the jitted step; the
         # host fetches it once per eval window, never per step
         window_acc, window_n, window_t0 = None, 0, time.perf_counter()
@@ -360,9 +364,11 @@ class Trainer:
                     early_stop = True
                     break
                 if step % eval_steps == 0:
-                    import jax.numpy as jnp
                     window_acc, window_n = jnp.float32(0.0), 0
                     window_t0 = time.perf_counter()
+                    if a.profile_dir and step == eval_steps and not profiling:
+                        jax.profiler.start_trace(a.profile_dir)
+                        profiling = True
 
                 n = labels.shape[0]
                 batch, labels, weight = self._pad(batch, labels)
@@ -378,6 +384,11 @@ class Trainer:
                     # the single host sync of the window; forces the whole
                     # step chain, so elapsed-time here is real wall time
                     window_loss = float(window_acc)
+                    if profiling and (step + 1) == 2 * eval_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info("profiler trace written to %s",
+                                    a.profile_dir)
                     self.window_times.append(
                         (time.perf_counter() - window_t0, window_n))
                     results = dict(train_loss=window_loss / max(window_n, 1))
@@ -399,6 +410,9 @@ class Trainer:
                 step += 1
             if hasattr(pbar, "close"):
                 pbar.close()
+
+        if profiling:  # training ended mid-window (early stop / max_steps)
+            jax.profiler.stop_trace()
 
         # throughput observability (SURVEY.md §5: the pairs/sec counter the
         # reference lacks); first window excluded (contains the compile)
