@@ -235,41 +235,19 @@ def main():
     # (vault/tmsc_utils/dataset.py:260-283).
     entity_map: dict = {}
     entity_descriptions: list = []
-    if args.task == "Twitter201X" and args.entity_cache and \
-            hasattr(tokenizer, "add_tokens"):
-        from vault_tpu.text.entity_linking import (
-            EntityLinker,
-            OfflineEntityLinker,
-            build_entity_cache,
-            load_entity_cache,
-        )
+    if args.task == "Twitter201X":
+        from vault_tpu.text.entity_linking import resolve_entities_for_cli
 
-        # link-then-cache when the cache file is missing (reference dataset
-        # flow, vault/tmsc_utils/dataset.py:185-283): the offline
-        # alias-store backend, or REL when importable
-        if not os.path.exists(args.entity_cache):
-            linker = None
-            if args.wiki_store:
-                linker = OfflineEntityLinker(args.wiki_store,
-                                             args.entity_threshold)
-            else:
-                rel = EntityLinker(".", threshold=args.entity_threshold)
-                linker = rel if rel.available else None
-            if linker is not None:
-                from vault_tpu.data.datasets import read_twitter201x
+        def read_targets():
+            from vault_tpu.data.datasets import read_twitter201x
 
-                kinds = (list(args.train_split) + list(args.dev_split or [])
-                         + list(args.test_split or []))
-                targets = [e.target for e in read_twitter201x(args.dir, kinds)]
-                build_entity_cache(args.entity_cache, targets, linker)
+            kinds = (list(args.train_split) + list(args.dev_split or [])
+                     + list(args.test_split or []))
+            return [e.target for e in read_twitter201x(args.dir, kinds)]
 
-        cache = load_entity_cache(args.entity_cache) or {}
-        for tgt, (entity, desc) in cache.items():
-            if entity and desc:
-                token = f"[{entity}]"  # reference token surface, :270
-                if tokenizer.add_tokens([token]) == 1:
-                    entity_descriptions.append(desc)
-                entity_map[tgt] = token
+        entity_map, entity_descriptions = resolve_entities_for_cli(
+            args.entity_cache, args.wiki_store, args.entity_threshold,
+            tokenizer, read_targets)
 
     if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
         # added AFTER entity tokens so the embedding rows appended per rep

@@ -148,6 +148,23 @@ def main():
     else:
         text_cfg = text_config_from_name(args.model_name_or_path)
     tokenizer = build_tokenizer(tokenizer_src)
+    # Guard the silent-garbage configurations: when exactly one of the two
+    # checkpoint paths resolves locally, the tokenizer and the tower
+    # weights come from different sources (e.g. a hub-name tweet model
+    # falls back to the minimal tokenizer while bert-base weights load).
+    if args.model == "TomBERT" and args.tweet_model_name_or_path and \
+            os.path.isdir(tokenizer_src) != os.path.isdir(args.model_name_or_path):
+        logging.warning(
+            "tokenizer follows %r but tower weights follow %r and only one "
+            "is a local checkpoint dir — token ids will not line up with "
+            "the pretrained embeddings", tokenizer_src,
+            args.model_name_or_path)
+    if not os.path.isdir(tokenizer_src) and os.path.isdir(args.model_name_or_path):
+        logging.warning(
+            "%r is not a local checkpoint dir: using a minimal fallback "
+            "tokenizer while pretrained weights load from %r — real text "
+            "will encode as [UNK]/char pieces", tokenizer_src,
+            args.model_name_or_path)
     processor = VaultProcessor(tokenizer, max_length=args.max_total_length)
 
     max_total = args.max_total_length
@@ -157,39 +174,18 @@ def main():
     # Entity linking resolves BEFORE dataset construction so the entity
     # tokens reach the encoded target text (reference wires the same
     # subparser into this CLI, experiments/tmsc_tombert.py:47, 15-19)
-    entity_map: dict = {}
-    entity_descriptions: list = []
-    if args.entity_cache and hasattr(tokenizer, "add_tokens"):
-        from vault_tpu.text.entity_linking import (
-            EntityLinker,
-            OfflineEntityLinker,
-            build_entity_cache,
-            load_entity_cache,
-        )
+    from vault_tpu.text.entity_linking import resolve_entities_for_cli
 
-        if not os.path.exists(args.entity_cache):
-            linker = None
-            if args.wiki_store:
-                linker = OfflineEntityLinker(args.wiki_store,
-                                             args.entity_threshold)
-            else:
-                rel = EntityLinker(".", threshold=args.entity_threshold)
-                linker = rel if rel.available else None
-            if linker is not None:
-                from vault_tpu.data.datasets import read_twitter201x
+    def read_targets():
+        from vault_tpu.data.datasets import read_twitter201x
 
-                kinds = (list(args.train_split) + list(args.dev_split or [])
-                         + list(args.test_split or []))
-                targets = [e.target for e in read_twitter201x(args.dir, kinds)]
-                build_entity_cache(args.entity_cache, targets, linker)
+        kinds = (list(args.train_split) + list(args.dev_split or [])
+                 + list(args.test_split or []))
+        return [e.target for e in read_twitter201x(args.dir, kinds)]
 
-        cache = load_entity_cache(args.entity_cache) or {}
-        for tgt, (entity, desc) in cache.items():
-            if entity and desc:
-                token = f"[{entity}]"
-                if tokenizer.add_tokens([token]) == 1:
-                    entity_descriptions.append(desc)
-                entity_map[tgt] = token
+    entity_map, entity_descriptions = resolve_entities_for_cli(
+        args.entity_cache, args.wiki_store, args.entity_threshold,
+        tokenizer, read_targets)
 
     if args.add_placeholder_token and hasattr(tokenizer, "add_tokens"):
         # after entity tokens, so per-rep embedding growth (entity max-pool

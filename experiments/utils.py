@@ -90,16 +90,21 @@ TRAINER_ARGS = dict(
 def apply_device_arg(args):
     """Honor ``--device`` by pinning the jax platform BEFORE the first op
     (must run before any jax array is created; see docs/NOTES.md on the
-    axon sitecustomize override)."""
+    axon sitecustomize override).
+
+    ``cpu`` pins the host platform; ``tpu`` deliberately does NOT pin a
+    literal "tpu" platform — jax's default selection already prefers the
+    accelerator backend, whose registered name varies (plain TPU runtimes
+    register "tpu", this environment's tunnel registers "axon"), so pinning
+    the string would break the latter."""
     device = getattr(args, "device", None)
-    if device:
+    if device == "cpu":
         import os
 
-        if device == "cpu":
-            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         import jax
 
-        jax.config.update("jax_platforms", device)
+        jax.config.update("jax_platforms", "cpu")
 
 
 def trainer_args_from_namespace(args, **overrides):

@@ -152,11 +152,13 @@ class Twitter201XDataset:
         self._err_count = 0
         self._images: Optional[List[np.ndarray]] = None
         if not lazy_images:
-            self._images = []
-            for e in self.examples:
-                img, err = load_image_with_fallback(self.image_dir, e.image_bn)
-                self._err_count += int(err)
-                self._images.append(img)
+            from vault_tpu.data.loader import parallel_map
+
+            pairs = parallel_map(
+                lambda e: load_image_with_fallback(self.image_dir, e.image_bn),
+                self.examples, num_workers)
+            self._err_count = sum(int(err) for _, err in pairs)
+            self._images = [img for img, _ in pairs]
             if self._err_count:
                 logger.warning("%d errors occurred whilst loading images",
                                self._err_count)
@@ -172,13 +174,6 @@ class Twitter201XDataset:
         if self.orientation_buckets:
             return _grouped_num_batches(self._canvas_keys(), batch_size)
         return (self.num_examples + batch_size - 1) // batch_size
-
-    def _raw_image(self, i: int) -> np.ndarray:
-        if self._images is not None:
-            return self._images[i]
-        img, err = load_image_with_fallback(self.image_dir, self.examples[i].image_bn)
-        self._err_count += int(err)
-        return img
 
     def _fetch_images(self, sel):
         if self._images is not None:
@@ -222,7 +217,8 @@ class Twitter201XDataset:
             feats = {k: v[sel] for k, v in self._text_enc.items()}
             images = self._fetch_images(sel)
             aug = rng if (train and self.augment) else None
-            pv, pm = self.processor.encode_images(images, augment_rng=aug)
+            pv, pm = self.processor.encode_images(images, augment_rng=aug,
+                                                  num_workers=self.num_workers)
             feats["pixel_values"] = pv
             feats["pixel_mask"] = pm
             yield feats, self.labels[sel]
@@ -407,7 +403,10 @@ class VisionLanguageDataset:
         self._text_enc = processor.encode_text(self.texts, max_length=max_length)
         self._images: Optional[List[np.ndarray]] = None
         if not lazy:
-            self._images = [load_image_file(p) for p in self.image_paths]
+            from vault_tpu.data.loader import parallel_map
+
+            self._images = parallel_map(load_image_file, self.image_paths,
+                                        num_workers)
 
     @property
     def num_examples(self) -> int:
@@ -450,7 +449,8 @@ class VisionLanguageDataset:
                                   0 if self._images is not None
                                   else self.num_workers)
             aug = rng if (train and self.augment) else None
-            pv, pm = self.processor.encode_images(images, augment_rng=aug)
+            pv, pm = self.processor.encode_images(images, augment_rng=aug,
+                                                  num_workers=self.num_workers)
             feats["pixel_values"] = pv
             feats["pixel_mask"] = pm
             yield feats, self.labels[sel]

@@ -137,6 +137,34 @@ def resize_normalize(image: np.ndarray, out_hw: Tuple[int, int],
     return np.asarray(out.transpose(2, 0, 1), np.float32)
 
 
+def crop_stage(image: np.ndarray, safe: bool = True,
+               augment_rng: Optional[np.random.Generator] = None,
+               crop_ratio: float = 0.9) -> np.ndarray:
+    """[safe-crop] -> [random-crop].  Consumes the augment rng, so callers
+    batching images must run this stage SERIALLY (stream determinism); the
+    crops themselves are view slices, so that costs nothing."""
+    image = np.asarray(image)
+    if safe:
+        image = safe_aspect_crop(image)
+    if augment_rng is not None:
+        image = relative_random_crop(augment_rng, image, crop_ratio)
+    return image
+
+
+def resize_stage(image: np.ndarray, shorter: int = SHORTER,
+                 longer: Optional[int] = None,
+                 max_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """target-size -> resize+normalize.  rng-free and GIL-releasing (native
+    core / PIL), so this stage parallelizes across a batch."""
+    if longer is None:
+        longer = int(1333 / 800 * shorter)
+    h, w = np.asarray(image).shape[:2]
+    th, tw = target_size(h, w, shorter, longer)
+    if max_hw is not None:
+        th, tw = min(th, max_hw[0]), min(tw, max_hw[1])
+    return resize_normalize(np.asarray(image), (th, tw))
+
+
 def preprocess_image(image: np.ndarray, safe: bool = True,
                      augment_rng: Optional[np.random.Generator] = None,
                      crop_ratio: float = 0.9, shorter: int = SHORTER,
@@ -146,17 +174,8 @@ def preprocess_image(image: np.ndarray, safe: bool = True,
     ``max_hw`` clamps the (already /32-floored) target to a static canvas; on
     the default 384/639 geometry the floor is always <= 608 so no clamp fires.
     """
-    if longer is None:
-        longer = int(1333 / 800 * shorter)
-    if safe:
-        image = safe_aspect_crop(np.asarray(image))
-    if augment_rng is not None:
-        image = relative_random_crop(augment_rng, np.asarray(image), crop_ratio)
-    h, w = np.asarray(image).shape[:2]
-    th, tw = target_size(h, w, shorter, longer)
-    if max_hw is not None:
-        th, tw = min(th, max_hw[0]), min(tw, max_hw[1])
-    return resize_normalize(np.asarray(image), (th, tw))
+    cropped = crop_stage(image, safe, augment_rng, crop_ratio)
+    return resize_stage(cropped, shorter, longer, max_hw)
 
 
 def bucket_canvas_from_sizes(sizes: Sequence[Tuple[int, int]],

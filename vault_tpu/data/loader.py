@@ -10,6 +10,7 @@ vault/models/vault/dataset.py:249-318)."""
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
@@ -99,23 +100,25 @@ def peek_image_size(path: str) -> Tuple[int, int]:
 
 
 _decode_pools: dict = {}
+_decode_pools_lock = threading.Lock()
 
 
 def parallel_map(fn, items, num_workers: int = 0):
     """Map ``fn`` over ``items``, optionally on a shared worker-thread pool —
     the parallel-decode role of the reference's
     ``DataLoader(num_workers=max_num_workers)``
-    (vault/tmsc_utils/trainer.py:290-310).  PIL/numpy image decode releases
-    the GIL, so threads (not processes) are the right tool here."""
+    (vault/tmsc_utils/trainer.py:290-310).  PIL/numpy image decode and the
+    native image core (ctypes) release the GIL, so threads (not processes)
+    are the right tool here."""
     if not num_workers or len(items) <= 1:
         return [fn(x) for x in items]
-    pool = _decode_pools.get(num_workers)
-    if pool is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _decode_pools_lock:  # main + prefetch threads may race first use
+        pool = _decode_pools.get(num_workers)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        pool = _decode_pools.setdefault(
-            num_workers,
-            ThreadPoolExecutor(num_workers, thread_name_prefix="vault-decode"))
+            pool = _decode_pools[num_workers] = ThreadPoolExecutor(
+                num_workers, thread_name_prefix="vault-decode")
     return list(pool.map(fn, items))
 
 
@@ -125,7 +128,6 @@ def prefetch(iterator, size: int = 2):
     reference's DataLoader(num_workers=...) plays
     (vault/tmsc_utils/trainer.py:290-310)."""
     import queue
-    import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()

@@ -22,8 +22,9 @@ import numpy as np
 from vault_tpu.data.image import (
     DEFAULT_CANVAS,
     bucket_canvas,
+    crop_stage,
     pad_batch,
-    preprocess_image,
+    resize_stage,
 )
 
 
@@ -70,19 +71,28 @@ class VaultProcessor:
         return out
 
     def encode_images(self, images: Sequence[np.ndarray],
-                      augment_rng: Optional[np.random.Generator] = None):
+                      augment_rng: Optional[np.random.Generator] = None,
+                      num_workers: int = 0):
         auto = self.canvas == "auto"
         max_hw = None if auto else self.canvas
-        # per-image resize_normalize dispatches to the native core
+        # Crops run serially (they consume the augment rng stream; they are
+        # view slices), then the expensive resize+normalize parallelizes
+        # across the batch — the native core / PIL release the GIL, so
+        # ``num_workers`` threads scale it (the reference's DataLoader
+        # num_workers role).  Results are identical for any worker count.
+        # Per-image resize_normalize dispatches to the native core
         # (bit-exact PIL resample + fused normalize, ~2x); a zero-copy
         # write-into-canvas variant was measured SLOWER than this simple
         # shape (np.zeros is calloc — pad_batch's copy is cheap), so the
         # collation stays a plain pad_batch.
-        processed = [preprocess_image(im, safe=self.safe_images,
-                                      augment_rng=augment_rng,
-                                      shorter=self.shorter, longer=self.longer,
-                                      max_hw=max_hw)
-                     for im in images]
+        from vault_tpu.data.loader import parallel_map
+
+        cropped = [crop_stage(im, safe=self.safe_images,
+                              augment_rng=augment_rng) for im in images]
+        processed = parallel_map(
+            lambda im: resize_stage(im, shorter=self.shorter,
+                                    longer=self.longer, max_hw=max_hw),
+            cropped, num_workers)
         canvas = bucket_canvas(processed) if auto else self.canvas
         return pad_batch(processed, canvas=canvas)
 

@@ -217,3 +217,44 @@ def integrate_entities_into_embeddings(word_embeddings: jnp.ndarray,
         if ids:
             new_rows[n_new - 1 - i] = emb[ids].max(axis=0)
     return jnp.concatenate([word_embeddings, jnp.asarray(new_rows)], axis=0)
+
+
+def resolve_entities_for_cli(entity_cache: Optional[str],
+                             wiki_store: Optional[str], threshold: float,
+                             tokenizer, read_targets):
+    """Link-then-cache flow shared by both experiment CLIs (reference
+    dataset flow, vault/tmsc_utils/dataset.py:185-283): build the JSON
+    cache when missing (offline alias store, or REL when importable), load
+    it, register "[entity]" tokens on the tokenizer, and return
+
+      (entity_map: target -> "[entity]" token appended to the target text,
+       entity_descriptions: descriptions in token-registration order —
+       the order integrate_entities_into_embeddings appends rows in).
+
+    ``read_targets`` is a zero-arg callable producing the targets to link
+    (only invoked when the cache must be built)."""
+    import os
+
+    entity_map: Dict[str, str] = {}
+    descriptions: list = []
+    if not entity_cache or not hasattr(tokenizer, "add_tokens"):
+        return entity_map, descriptions
+
+    if not os.path.exists(entity_cache):
+        linker = None
+        if wiki_store:
+            linker = OfflineEntityLinker(wiki_store, threshold)
+        else:
+            rel = EntityLinker(".", threshold=threshold)
+            linker = rel if rel.available else None
+        if linker is not None:
+            build_entity_cache(entity_cache, read_targets(), linker)
+
+    cache = load_entity_cache(entity_cache) or {}
+    for tgt, (entity, desc) in cache.items():
+        if entity and desc:
+            token = f"[{entity}]"  # reference token surface (:270)
+            if tokenizer.add_tokens([token]) == 1:
+                descriptions.append(desc)
+            entity_map[tgt] = token
+    return entity_map, descriptions

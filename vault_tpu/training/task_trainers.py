@@ -52,23 +52,34 @@ class TomBertTrainer(Trainer):
         from vault_tpu.models.resnet import resnet_features
 
         if (self.train_image_encoder or self.resnet_params is None
-                or not hasattr(dataset, "replace_images_with_embeddings")
-                or getattr(dataset, "embeddings", None) is not None):
+                or not hasattr(dataset, "replace_images_with_embeddings")):
+            return
+        # datasets are shared across --reps while each rep draws a fresh
+        # ResNet, so a cache from another params tree must be recomputed
+        if (getattr(dataset, "embeddings", None) is not None
+                and getattr(dataset, "_emb_src", None) is self.resnet_params):
             return
         import jax as _jax
 
-        feats_fn = _jax.jit(lambda imgs: resnet_features(
-            self.resnet_params, self.resnet_depth, imgs))
+        # params passed as an argument, NOT closed over: closures bake the
+        # ~170MB tree into the HLO as constants (CLAUDE.md / docs/NOTES.md —
+        # oversized programs 413 on the remote-compile relay)
+        feats_fn = _jax.jit(lambda rp, imgs: resnet_features(
+            rp, self.resnet_depth, imgs))
         embs = []
         bs = self.args.eval_batch_size
         if dataset.images is not None:
             images = dataset.images
             for start in range(0, images.shape[0], bs):
-                embs.append(np.asarray(feats_fn(images[start:start + bs])))
+                embs.append(np.asarray(
+                    feats_fn(self.resnet_params, images[start:start + bs])))
         else:  # preprocess_on_fetch: stream the lazy decode in index order
+            dataset.embeddings = None  # serve images, not a stale cache
             for feats, _ in dataset.batches(bs, shuffle=False):
-                embs.append(np.asarray(feats_fn(feats["images"])))
+                embs.append(np.asarray(
+                    feats_fn(self.resnet_params, feats["images"])))
         dataset.replace_images_with_embeddings(np.concatenate(embs))
+        dataset._emb_src = self.resnet_params  # identity tag (one live ref)
 
     def train(self):
         for ds in (self.train_dataset, self.dev_dataset, self.test_dataset):

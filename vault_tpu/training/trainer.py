@@ -335,7 +335,9 @@ class Trainer:
         data_rng = np.random.default_rng(a.seed)
         early_stop = False
         step = 0
-        profiling = False  # trace window 1 when a.profile_dir is set
+        # profile the first full post-compile window (also correct under
+        # --resume, where fast-forward skips past the early windows)
+        profiling, profiled, profile_stop = False, False, 0
         # window_acc is a DEVICE scalar threaded through the jitted step; the
         # host fetches it once per eval window, never per step
         window_acc, window_n, window_t0 = None, 0, time.perf_counter()
@@ -366,9 +368,10 @@ class Trainer:
                 if step % eval_steps == 0:
                     window_acc, window_n = jnp.float32(0.0), 0
                     window_t0 = time.perf_counter()
-                    if a.profile_dir and step == eval_steps and not profiling:
+                    if a.profile_dir and not profiling and not profiled \
+                            and step >= start_step + eval_steps:
                         jax.profiler.start_trace(a.profile_dir)
-                        profiling = True
+                        profiling, profile_stop = True, step + eval_steps
 
                 n = labels.shape[0]
                 batch, labels, weight = self._pad(batch, labels)
@@ -384,9 +387,9 @@ class Trainer:
                     # the single host sync of the window; forces the whole
                     # step chain, so elapsed-time here is real wall time
                     window_loss = float(window_acc)
-                    if profiling and (step + 1) == 2 * eval_steps:
+                    if profiling and (step + 1) >= profile_stop:
                         jax.profiler.stop_trace()
-                        profiling = False
+                        profiling, profiled = False, True
                         logger.info("profiler trace written to %s",
                                     a.profile_dir)
                     self.window_times.append(
