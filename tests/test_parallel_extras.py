@@ -301,3 +301,53 @@ def test_offline_entity_linker(tmp_path):
     build_entity_cache(cache_path, ["apple"], linker)
     cache = load_entity_cache(cache_path)
     assert set(cache) == {"Obama", "nothing", "apple"}
+
+
+def test_llama_tower_tp_forward_matches_replicated():
+    """Megatron TP specs extend to the Llama tower (the BASELINE config-5
+    composition where TP genuinely matters — an 8B tower outgrows one
+    chip): gate/up column-parallel, o/down row-parallel, 2-way model mesh
+    matches single-device output."""
+    from vault_tpu.models.llama import init_llama, tiny_llama_config
+    from vault_tpu.models.vault import vault_with_llama_tower
+    from vault_tpu.models.vilt import init_vilt
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.parallel.sharding import vault_param_specs
+
+    lcfg = tiny_llama_config()
+    vcfg = tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=8)
+    params = {
+        "llama": init_llama(jax.random.PRNGKey(0), lcfg),
+        "vilt": init_vilt(jax.random.PRNGKey(1), vcfg),
+        "adapter": {
+            "w": jnp.asarray(np.random.default_rng(2).normal(
+                0, 0.02, (lcfg.hidden_size, vcfg.hidden_size)), jnp.float32),
+            "b": jnp.zeros((vcfg.hidden_size,), jnp.float32),
+        },
+    }
+    specs = vault_param_specs(params)
+    assert specs["llama"]["layers"]["gate"]["w"] == P(None, None, "model")
+    assert specs["llama"]["layers"]["down"]["w"] == P(None, "model", None)
+    assert specs["llama"]["layers"]["o"]["w"] == P(None, "model", None)
+    assert specs["llama"]["layers"]["input_ln"] == P()
+
+    rng = np.random.default_rng(3)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(0, lcfg.vocab_size, (4, 8)),
+                              jnp.int32),
+        attention_mask=jnp.ones((4, 8), jnp.int32),
+        pixel_values=jnp.asarray(rng.normal(size=(4, 3, 32, 32)), jnp.float32),
+        pixel_mask=jnp.ones((4, 32, 32), jnp.int32),
+    )
+
+    ref = vault_with_llama_tower(params, vcfg, lcfg, **batch).pooler_output
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    sharded = shard_params(mesh, params)
+
+    @jax.jit
+    def fwd(p, b):
+        return vault_with_llama_tower(p, vcfg, lcfg, **b).pooler_output
+
+    out = fwd(sharded, batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

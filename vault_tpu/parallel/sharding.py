@@ -20,8 +20,12 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_W = {"q", "k", "v", "mlp_in"}
-ROW_W = {"attn_out", "mlp_out"}
+COLUMN_W = {"q", "k", "v", "mlp_in",
+            # Llama tower (models/llama.py): SwiGLU in-projections
+            "gate", "up"}
+ROW_W = {"attn_out", "mlp_out",
+         # Llama tower: attention output + SwiGLU down-projection
+         "o", "down"}
 
 
 def _spec_for(path_keys, leaf) -> P:
