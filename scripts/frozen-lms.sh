@@ -24,6 +24,7 @@ BERTWEET=${BERTWEET_DIR:-vinai/bertweet-base}
 # batch 16 + augmentation.  MVSA frozen legs are commented out upstream.
 if [ -n "$TWITTER" ]; then
   for ds in twitter2015 twitter; do
+    [ -d "$TWITTER/$ds" ] || continue
     python experiments/clsf_vault.py Twitter201X \
       --dir "$TWITTER/$ds" --train_split train dev --test_split test \
       --vilt_model_name_or_path "$VILT" \

@@ -56,6 +56,7 @@ run_tmsc () {  # $1=dataset dir under twitter root, $2=bert flag(s), $3=epochs
 
 if [ -n "$TWITTER" ]; then
   for ds in twitter2015 twitter; do
+    [ -d "$TWITTER/$ds" ] || continue
     for v in $VARIANTS; do
       [ "$v" = bert ] && epochs=25 || epochs=15   # :20-45
       run_tmsc "$ds" "$(variant_flag $v)" "$epochs"

@@ -19,6 +19,7 @@ VILT=${VILT_DIR:-dandelin/vilt-b32-mlm}
 # reference recipe (:16-40): train on train, dev eval, NO test leg,
 # 10 epochs, resnet101, max_total 40 / max_target 10
 for ds in twitter2015 twitter; do
+  [ -d "$TWITTER/$ds" ] || continue
   for tweet_bert in "--use_tweet_bert" ""; do
     python experiments/tmsc_tombert.py TomViLT \
       --dir "$TWITTER/$ds" --train_split train --dev_split dev \

@@ -247,3 +247,46 @@ def test_clsf_vault_offline_entity_linking_e2e(tmp_path):
     assert built["target 0"] == ["Target_Zero", "a tweet about stuff"]
     assert built["target 1"] == ["Target_One", None]  # below threshold
     assert built["target 2"] == [None, None]          # not in store
+
+
+def _script_env(logs):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["EXTRA_FLAGS"] = (
+        "--debug_tiny --num_train_epochs 1 "
+        f"--train_batch_size 4 --eval_batch_size 4 --experiment_root {logs}")
+    return env
+
+
+def test_toms_script_rehearsal(tmp_path):
+    """scripts/toms.sh (TomVAuLT vs TomViLT recipe) end-to-end on synthetic
+    twitter data with tiny geometry: both variant runs must log."""
+    parent = tmp_path / "twitter_root"
+    parent.mkdir()
+    _make_twitter(parent)  # creates parent/twitter2015 (+images)
+    logs = str(tmp_path / "logs")
+    res = subprocess.run(
+        ["bash", "scripts/toms.sh", "-t", str(parent), "-r", "1"],
+        cwd=REPO, env=_script_env(logs), capture_output=True, text=True,
+        timeout=900)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    run_dirs = os.listdir(os.path.join(logs, "TomViLTTMSC"))
+    assert len(run_dirs) == 2  # --use_tweet_bert and plain ViLT variants
+
+
+def test_frozen_lms_script_rehearsal(tmp_path):
+    """scripts/frozen-lms.sh Bloomberg legs (bert + bertweet frozen-LM
+    ablation) end-to-end on synthetic data."""
+    root = _make_bloomberg(tmp_path)
+    logs = str(tmp_path / "logs")
+    env = _script_env(logs)
+    # tiny geometry also needs tiny split sizes for the 24-row synthetic csv
+    env["EXTRA_FLAGS"] += " --dev_size 4 --test_size 4"
+    res = subprocess.run(
+        ["bash", "scripts/frozen-lms.sh", "-b", root, "-r", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCBloomberg"))
+    assert len(run_dirs) == 2  # bert-base and bertweet variants
