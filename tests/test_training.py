@@ -678,3 +678,30 @@ def test_trainer_profile_dir_writes_trace(tmp_path):
 
     dumps = glob.glob(os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
     assert dumps, os.listdir(prof)
+
+
+def test_trainer_combined_throughput_flags_descend(tmp_path):
+    """Interaction smoke for the throughput-lever combination: gradient
+    accumulation x ZeRO-1 moment sharding x bf16 optimizer state x bf16
+    grad buffers in ONE jitted step over the DP mesh — flags that are each
+    equivalence-tested alone must also compose."""
+    cfg, params, apply_fn, feats, labels = _toy_setup()
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    ds = InMemoryDataset(feats, labels)
+    targs = TrainArgs(lr=5e-4, train_batch_size=16, eval_batch_size=16,
+                      num_train_epochs=4, grad_accum_steps=2,
+                      zero_opt=True, opt_state_dtype="bfloat16",
+                      grad_dtype="bfloat16", disable_tqdm=True)
+    handler = ExperimentHandler(str(tmp_path), "Combo")
+    tr = Trainer(apply_fn, params, targs, ds, dev_dataset=ds,
+                 exp_handler=handler)
+    tr.train()
+    m = handler._series["train_loss"]
+    assert m[-1] < m[0], m
+    # moments really are bf16 and 1/N-sharded over the data axis
+    mu_leaf = jax.tree.leaves(tr.opt_state.mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    assert not mu_leaf.sharding.is_fully_replicated
