@@ -49,6 +49,11 @@ MODEL_ARGS = dict(
                                 "a typo'd no-op, vault/models/vault/"
                                 "model.py:71-75, so the head is its only "
                                 "effective consumer)"),
+    tie_target_bert_weights=dict(action="store_true",
+                                 help="TomBERT: the target tower shares the "
+                                      "tweet tower's weights (reference "
+                                      "from_pretrained kwarg, "
+                                      "tombert/model.py:164-165)"),
     resnet_depth=dict(default=101, type=int, choices=[18, 34, 50, 101, 152]),
     resnet_weights=dict(type=str,
                         help="local torchvision state-dict (.pth) to seed "
@@ -282,17 +287,21 @@ def main():
                 params = init_tombert_from_bert(
                     bert_params, rng, text_cfg, n_classes, args.pooling,
                     vis_dim, args.num_hidden_cross_layers,
-                    resnet_params=resnet_params, tweet_params=tweet_params)
+                    resnet_params=resnet_params, tweet_params=tweet_params,
+                    tie_target_bert=args.tie_target_bert_weights)
                 if "resnet" not in params:
                     params["resnet"] = init_resnet(
                         jax.random.fold_in(rng, 99), args.resnet_depth)
             else:
                 params = init_tombert(rng, text_cfg, n_classes, args.pooling,
                                       vis_dim, args.num_hidden_cross_layers,
-                                      resnet_depth=args.resnet_depth)
+                                      resnet_depth=args.resnet_depth,
+                                      tie_target_bert=args.tie_target_bert_weights)
                 if resnet_params is not None:
                     params["resnet"] = resnet_params
-            params = grow_towers(params, ["tweet_bert", "target_bert"])
+            params = grow_towers(params, ["tweet_bert"] +
+                                 ([] if args.tie_target_bert_weights
+                                  else ["target_bert"]))
 
             def apply_fn(p, batch, deterministic, rng,
                          _tweet_cfg=tweet_cfg):

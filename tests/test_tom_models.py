@@ -294,3 +294,38 @@ def test_tomvilt_plain_vilt_mode():
     logits = tomvilt_apply(params, vault_cfg, text, visual_embeddings=vis,
                            head_dropout=0.0, **inputs)
     assert logits.shape == (2, 3)
+
+
+def test_tombert_tied_target_tower():
+    """tie_target_bert (reference tie_target_bert_weights kwarg,
+    tombert/model.py:164-165): no target_bert subtree, the tweet tower
+    serves both streams, and gradients from both call sites accumulate
+    into it — grad wrt the tied tower equals the SUM of the two towers'
+    grads in the untied model started from identical weights."""
+    cfg = tiny_text_config(hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    tied = init_tombert(jax.random.PRNGKey(0), cfg, n_classes=3,
+                        vis_emb_dim=64, num_hidden_cross_layers=1,
+                        tie_target_bert=True)
+    assert "target_bert" not in tied
+    untied = {**jax.tree.map(lambda x: x, tied),
+              "target_bert": jax.tree.map(jnp.copy, tied["tweet_bert"])}
+    inputs = _text_inputs(cfg)
+    vis = jnp.asarray(np.random.default_rng(1).normal(size=(2, 9, 64)),
+                      jnp.float32)
+
+    def loss(p):
+        return tombert_apply(p, cfg, visual_embeddings=vis, **inputs).sum()
+
+    # identical forward
+    np.testing.assert_allclose(np.asarray(loss(tied)),
+                               np.asarray(loss(untied)), rtol=1e-6)
+    g_tied = jax.grad(loss)(tied)
+    g_untied = jax.grad(loss)(untied)
+    summed = jax.tree.map(lambda a, b: a + b, g_untied["tweet_bert"],
+                          g_untied["target_bert"])
+    leaves_t = jax.tree.leaves(g_tied["tweet_bert"])
+    leaves_s = jax.tree.leaves(summed)
+    for a, b in zip(leaves_t, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)

@@ -35,7 +35,13 @@ from vault_tpu.ops.nn import dropout, init_linear, linear
 def init_tombert(rng, cfg: TextTowerConfig, n_classes: int = 3,
                  pooling: str = "first", vis_emb_dim: int = 2048,
                  num_hidden_cross_layers: Optional[int] = None,
-                 resnet_depth: Optional[int] = None):
+                 resnet_depth: Optional[int] = None,
+                 tie_target_bert: bool = False):
+    """``tie_target_bert`` mirrors the reference's ``tie_target_bert_weights``
+    (tombert/model.py:164-165): the target tower IS the tweet tower.  In the
+    functional design that means the params tree simply has no
+    "target_bert" subtree — apply reuses "tweet_bert", so gradients from
+    both call sites accumulate into one set of weights."""
     ks = jax.random.split(rng, 8)
     params: Dict = {
         "tweet_bert": bert_mod.init_bert(ks[0], cfg),
@@ -51,6 +57,8 @@ def init_tombert(rng, cfg: TextTowerConfig, n_classes: int = 3,
             ks[7], cfg.hidden_size * (2 if pooling == "both" else 1),
             n_classes, cfg.initializer_range),
     }
+    if tie_target_bert:
+        del params["target_bert"]
     if resnet_depth is not None:
         params["resnet"] = init_resnet(jax.random.fold_in(rng, 99), resnet_depth)
     return params
@@ -60,17 +68,20 @@ def init_tombert_from_bert(bert_params, rng, cfg: TextTowerConfig,
                            n_classes: int = 3, pooling: str = "first",
                            vis_emb_dim: int = 2048,
                            num_hidden_cross_layers: Optional[int] = None,
-                           resnet_params=None, tweet_params=None):
+                           resnet_params=None, tweet_params=None,
+                           tie_target_bert: bool = False):
     """The reference's weight surgery: one pretrained BERT seeds all four
     text stacks (vault/models/tombert/model.py:162-176).  ``tweet_params``
     mirrors ``pretrained_tweet_model_name_or_path`` (:154-160): when given,
     the tweet AND target towers take those weights instead, while the
     multimodal/cross encoders still seed from ``bert_params``."""
     params = init_tombert(rng, cfg, n_classes, pooling, vis_emb_dim,
-                          num_hidden_cross_layers)
+                          num_hidden_cross_layers,
+                          tie_target_bert=tie_target_bert)
     towers = tweet_params if tweet_params is not None else bert_params
     params["tweet_bert"] = jax.tree.map(jnp.copy, towers)
-    params["target_bert"] = jax.tree.map(jnp.copy, towers)
+    if not tie_target_bert:
+        params["target_bert"] = jax.tree.map(jnp.copy, towers)
     params["mm_encoder"] = {"layers": jax.tree.map(jnp.copy, bert_params["layers"])}
     n_cross = jax.tree.leaves(params["cross"]["layers"])[0].shape[0]
     n_bert = jax.tree.leaves(bert_params["layers"])[0].shape[0]
@@ -106,9 +117,11 @@ def tombert_apply(params, cfg: TextTowerConfig, input_ids, target_input_ids,
     tweet_out = bert_mod.bert_apply(
         params["tweet_bert"], tweet_cfg, input_ids, attention_mask,
         token_type_ids, deterministic=deterministic, rng=rngs[0])
+    # tied mode (no "target_bert" subtree): the tweet tower serves both
+    # streams, so both call sites' gradients land on one set of weights
     target_out = bert_mod.bert_apply(
-        params["target_bert"], tweet_cfg, target_input_ids,
-        target_attention_mask, target_type_ids,
+        params.get("target_bert", params["tweet_bert"]), tweet_cfg,
+        target_input_ids, target_attention_mask, target_type_ids,
         deterministic=deterministic, rng=rngs[1])
 
     # regions are all valid (fixed 7x7 grid) -> image-part bias is zeros
