@@ -65,3 +65,28 @@ def test_native_speedup():
 
     fast, slow = bench(tok_fast), bench(tok_slow)
     assert fast < slow, (fast, slow)  # native must actually be faster
+
+
+def test_build_tokenizer_cased_heuristic(tmp_path):
+    """do_lower_case resolution: tokenizer_config.json wins; otherwise the
+    name heuristic must distinguish bert-base-cased (no lowercasing) from
+    bert-base-uncased — the old default lowercased EVERY checkpoint."""
+    from vault_tpu.models.pretrained import build_tokenizer
+
+    vocab = "[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\nHello\nhello\n"
+    for name, expect_lower in (("bert-base-cased", False),
+                               ("bert-base-uncased", True),
+                               ("my-model", True)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "vocab.txt").write_text(vocab)
+        tok = build_tokenizer(str(d))
+        assert tok.basic.lowercase == expect_lower, name
+    # explicit tokenizer_config overrides the name
+    import json
+    d = tmp_path / "oddly-named-cased"
+    d.mkdir()
+    (d / "vocab.txt").write_text(vocab)
+    (d / "tokenizer_config.json").write_text(json.dumps(
+        {"do_lower_case": True}))
+    assert build_tokenizer(str(d)).basic.lowercase is True

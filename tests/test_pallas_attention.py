@@ -654,3 +654,98 @@ def test_cross_encoder_fusemlp_matches_xla():
     for a, b in zip(jax.tree.leaves(loss(False)),
                     jax.tree.leaves(loss("fusemlp"))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_pick_row_tile_bounds_vmem():
+    """Non-dividing row counts must tile at the largest divisor <= pref —
+    never one giant (rows, 4H) program (the VMEM-overflow hazard the old
+    `tile = rows` fallback carried, e.g. B=24 x L=40 = 960 rows)."""
+    from vault_tpu.ops.pallas_mlp import _pick_row_tile
+
+    assert _pick_row_tile(4096, 256) == 256
+    assert _pick_row_tile(960, 256) == 240
+    assert _pick_row_tile(100, 256) == 100   # small: one tile, still <= pref
+    assert _pick_row_tile(961, 256) == 31    # 31*31: largest divisor wins
+    assert _pick_row_tile(997, 256) == 1     # prime: degenerate but bounded
+    for rows in (960, 961, 100):
+        t = _pick_row_tile(rows, 256)
+        assert t <= 256 and rows % t == 0
+
+
+def test_fused_mlp_nondividing_rows_matches_xla():
+    from vault_tpu.ops.pallas_mlp import _mlp_block_xla, fused_mlp_block_fwd
+
+    rng = np.random.default_rng(21)
+    h, inner = 128, 256
+    for rows in (960, 31):  # 960 -> tile 240; 31 -> tile 31
+        x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(h, inner)) * 0.05, jnp.float32)
+        b1 = jnp.zeros((inner,), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(inner, h)) * 0.05, jnp.float32)
+        b2 = jnp.zeros((h,), jnp.float32)
+        got = fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x,
+                                  interpret=True)
+        ref = _mlp_block_xla({"scale": gamma, "bias": beta},
+                             {"w": w1, "b": b1}, {"w": w2, "b": b2},
+                             x, 1e-12, "gelu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_project_qkv_fused_without_bias():
+    """qkv_bias=False models (no 'b' leaves) must work on the fused-QKV
+    path — the TPU default impl."""
+    from vault_tpu.ops.attention import project_qkv
+    from vault_tpu.ops.nn import init_linear
+
+    rng = jax.random.PRNGKey(0)
+    lp = {k: init_linear(jax.random.fold_in(rng, i), 64, 64, 0.02,
+                         bias=False)
+          for i, k in enumerate(("q", "k", "v"))}
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 64)),
+                    jnp.float32)
+    q1, k1, v1 = project_qkv(lp, y, num_heads=4, fuse=False)
+    q2, k2, v2 = project_qkv(lp, y, num_heads=4, fuse=True)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_parse_impl_rejects_unknown_tokens():
+    from vault_tpu.ops.attention import parse_impl
+
+    with pytest.raises(ValueError, match="unknown use_pallas"):
+        parse_impl("fuse_mlp+fuseqkv")  # typo must not silently degrade
+    assert parse_impl("fuseqkv+fusemlp")[0] is True
+    assert parse_impl("dotbatch")[3] == "dotbatch"
+
+
+def test_fused_mlp_postln_q8_matches_xla():
+    """int8 post-LN kernel (quantized BERT/Tom* towers): parity vs the XLA
+    composition over the quantized weights — quantized text towers must
+    not silently lose the fused path (the pre-LN block already has this)."""
+    from vault_tpu.ops.pallas_mlp import (
+        _mlp_postln_xla,
+        fused_mlp_postln_block,
+    )
+    from vault_tpu.ops.quantize import quantize_linear_params
+
+    rng = np.random.default_rng(33)
+    h, inner = 128, 256
+    for rows in (512, 20, 960):
+        x = jnp.asarray(rng.normal(size=(rows, h)), jnp.float32)
+        ln_p = {"scale": jnp.asarray(rng.normal(size=(h,)), jnp.float32),
+                "bias": jnp.asarray(rng.normal(size=(h,)), jnp.float32)}
+        p_in = quantize_linear_params(
+            {"w": jnp.asarray(rng.normal(size=(h, inner)) * 0.05,
+                              jnp.float32),
+             "b": jnp.zeros((inner,), jnp.float32)})
+        p_out = quantize_linear_params(
+            {"w": jnp.asarray(rng.normal(size=(inner, h)) * 0.05,
+                              jnp.float32),
+             "b": jnp.zeros((h,), jnp.float32)})
+        got = fused_mlp_postln_block(ln_p, p_in, p_out, x, 1e-12, "gelu")
+        ref = _mlp_postln_xla(ln_p, p_in, p_out, x, 1e-12, "gelu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)

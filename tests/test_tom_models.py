@@ -329,3 +329,21 @@ def test_tombert_tied_target_tower():
     for a, b in zip(leaves_t, leaves_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+def test_from_bert_deep_cross_partial_seeding():
+    """num_hidden_cross_layers > donor depth: the first n_bert cross layers
+    take donor weights, extras stay random (torch strict=False load
+    semantics the reference relies on, tombert/model.py:173-176)."""
+    from vault_tpu.models.tombert import init_tombert_from_bert
+    from vault_tpu.models import bert as bert_mod
+
+    cfg = tiny_text_config(num_hidden_layers=2)
+    donor = bert_mod.init_bert(jax.random.PRNGKey(5), cfg)
+    params = init_tombert_from_bert(donor, jax.random.PRNGKey(6), cfg,
+                                    num_hidden_cross_layers=3, vis_emb_dim=64)
+    cross_q = np.asarray(params["cross"]["layers"]["q"]["w"])
+    donor_q = np.asarray(donor["layers"]["q"]["w"])
+    assert cross_q.shape[0] == 3
+    np.testing.assert_allclose(cross_q[:2], donor_q, atol=0)
+    assert np.abs(cross_q[2] - donor_q[0]).max() > 1e-3  # extras random

@@ -55,3 +55,27 @@ def test_all_masks_zero_is_finite():
         pixel_values=jnp.asarray(rng.normal(size=(1, 3, 32, 32)), jnp.float32),
         pixel_mask=jnp.zeros((1, 32, 32), jnp.int32))
     assert np.isfinite(np.asarray(out.pooler_output)).all()
+
+
+def test_external_image_embeds_without_pixel_mask():
+    """image_embeds with pixel_mask=None must synthesize an all-valid mask
+    (the text path already does; TomViLT's default target mask is None)."""
+    from vault_tpu.config import tiny_vilt_config
+    from vault_tpu.models.vilt import init_vilt, vilt_apply
+
+    cfg = tiny_vilt_config()
+    params = init_vilt(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    embeds = jnp.asarray(rng.normal(size=(2, 5, cfg.hidden_size)),
+                         jnp.float32)
+    out = vilt_apply(params, cfg, input_ids=ids,
+                     attention_mask=jnp.ones((2, 6), jnp.int32),
+                     image_embeds=embeds, pixel_mask=None)
+    assert np.isfinite(np.asarray(out.pooler_output)).all()
+    masked = vilt_apply(params, cfg, input_ids=ids,
+                        attention_mask=jnp.ones((2, 6), jnp.int32),
+                        image_embeds=embeds,
+                        pixel_mask=jnp.ones((2, 5), jnp.int32))
+    np.testing.assert_allclose(np.asarray(out.pooler_output),
+                               np.asarray(masked.pooler_output), atol=1e-6)

@@ -159,8 +159,19 @@ def build_tokenizer(name_or_path: str, max_length: int = 40):
 
             return FastBPE(vocab, bpe_codes)
         if os.path.exists(vocab):
-            cfg = _read_config(name_or_path) or {}
-            lower = cfg.get("do_lower_case", "uncased" in name_or_path or True)
+            # do_lower_case lives in tokenizer_config.json (HF layout);
+            # fall back to the name heuristic: lowercase unless the name
+            # says "cased" without "uncased" (bert-base-cased vs -uncased)
+            lower = None
+            tok_cfg_path = os.path.join(name_or_path, "tokenizer_config.json")
+            if os.path.exists(tok_cfg_path):
+                with open(tok_cfg_path) as f:
+                    lower = json.load(f).get("do_lower_case")
+            if lower is None:
+                lower = (_read_config(name_or_path) or {}).get("do_lower_case")
+            if lower is None:
+                base = os.path.basename(os.path.normpath(name_or_path))
+                lower = not ("cased" in base and "uncased" not in base)
             return WordPieceTokenizer(vocab, lowercase=bool(lower))
         vjson = os.path.join(name_or_path, "vocab.json")
         merges = os.path.join(name_or_path, "merges.txt")

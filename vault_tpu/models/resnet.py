@@ -142,13 +142,8 @@ def resnet_embed(params, depth: int, x: jax.Array, train: bool = False) -> jax.A
 # torchvision state_dict converter
 # ---------------------------------------------------------------------------
 
-def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
-
-
 def resnet_params_from_torch(state_dict, depth: int):
+    from vault_tpu.models.convert import _np
     kind, blocks = RESNET_LAYERS[depth]
     sd = state_dict
 

@@ -88,6 +88,14 @@ def init_tombert_from_bert(bert_params, rng, cfg: TextTowerConfig,
     if n_cross <= n_bert:
         params["cross"] = {"layers": jax.tree.map(
             lambda x: jnp.copy(x[:n_cross]), bert_params["layers"])}
+    else:
+        # deeper cross encoder than the donor: seed the first n_bert layers
+        # and keep the extras random — torch's strict=False load_state_dict
+        # behavior the reference relies on (tombert/model.py:173-176)
+        params["cross"] = {"layers": jax.tree.map(
+            lambda rand, donor: jnp.concatenate(
+                [jnp.copy(donor), rand[n_bert:]], axis=0),
+            params["cross"]["layers"], bert_params["layers"])}
     if resnet_params is not None:
         params["resnet"] = resnet_params
     return params

@@ -199,24 +199,30 @@ def resize_token_embeddings(params, cfg: VaultConfig, new_size: int,
     when present, otherwise ViLT's."""
     import dataclasses
 
+    from vault_tpu.models.bert import grow_word_embeddings
+
     if rng is None:
         rng = jax.random.PRNGKey(0)
     target = "bert" if cfg.text_tower is not None else "vilt"
     emb_key = "embeddings" if target == "bert" else "text_embeddings"
     table = params[target][emb_key]["word"]
-    old, dim = table.shape
-    if new_size <= old:
+    if new_size <= table.shape[0]:
         return params, cfg
-    extra = jax.random.normal(rng, (new_size - old, dim), table.dtype) * stddev
-    new_table = jnp.concatenate([table, extra], axis=0)
-    params = {**params, target: {**params[target],
-                                 emb_key: {**params[target][emb_key],
-                                           "word": new_table}}}
     if target == "bert":
+        params = {**params,
+                  "bert": grow_word_embeddings(params["bert"], new_size,
+                                               rng, stddev)}
         cfg = dataclasses.replace(
             cfg, text_tower=dataclasses.replace(cfg.text_tower,
                                                 vocab_size=new_size))
     else:
+        extra = jax.random.normal(rng, (new_size - table.shape[0],
+                                        table.shape[1]),
+                                  table.dtype) * stddev
+        params = {**params, "vilt": {
+            **params["vilt"],
+            emb_key: {**params["vilt"][emb_key],
+                      "word": jnp.concatenate([table, extra], axis=0)}}}
         cfg = dataclasses.replace(
             cfg, vilt=dataclasses.replace(cfg.vilt, vocab_size=new_size))
     return params, cfg

@@ -214,9 +214,13 @@ def joint_embed(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
     else:
         # External image-embeds path (TomViLT feeds attended ResNet regions
         # here, vault/models/tomvilt/model.py:281-287): pixel_mask is already
-        # the per-token mask.
+        # the per-token mask (all-valid when omitted, mirroring the text
+        # path's synthesized mask).
         img = image_embeds
-        img_mask = pixel_mask.reshape(b, -1)
+        if pixel_mask is None:
+            img_mask = jnp.ones(img.shape[:2], jnp.int32)
+        else:
+            img_mask = pixel_mask.reshape(b, -1)
 
     text = text + params["modality_type"][0]
     img = img + params["modality_type"][image_token_type_idx]

@@ -49,6 +49,14 @@ def parse_impl(use_pallas):
     fuse_mlp = "fusemlp" in parts
     rest = [p for p in parts
             if p not in ("fuseqkv", "fuselnqkv", "fusemlp")]
+    # unknown tokens must FAIL, not silently select a (slower) pallas
+    # attention core — a typo like "fuse_mlp" would otherwise both drop
+    # the intended fusion and change the attention impl
+    bad = [p for p in rest if p not in ("grid", "batched", "dotbatch")]
+    if bad:
+        raise ValueError(
+            f"unknown use_pallas token(s) {bad}; valid: fuseqkv, fuselnqkv, "
+            f"fusemlp, grid, batched, dotbatch, auto, false")
     return fuse, fuse_lnqkv, fuse_mlp, (rest[0] if rest else False)
 
 
@@ -66,8 +74,12 @@ def project_qkv(lp, y: jax.Array, num_heads: int, fuse: bool = False):
 
     if fuse and "w" in lp["q"]:
         w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
-        b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
-        q, k, v = jnp.split(linear({"w": w, "b": b}, y), 3, axis=-1)
+        if "b" in lp["q"]:  # qkv_bias=False models carry no bias leaves
+            b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
+            fused = {"w": w, "b": b}
+        else:
+            fused = {"w": w}
+        q, k, v = jnp.split(linear(fused, y), 3, axis=-1)
     else:
         q, k, v = linear(lp["q"], y), linear(lp["k"], y), linear(lp["v"], y)
     return (split_heads(q, num_heads), split_heads(k, num_heads),

@@ -31,7 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 from vault_tpu.ops.nn import act_fn, layer_norm, linear
 
 ROW_TILE = 256  # (ROW_TILE, 4H) fp32 intermediate ~3 MB at H=768 -> fits VMEM
-                # alongside both weight matrices (~9.4 MB bf16)
+
+
+def _pick_row_tile(rows: int, pref: int) -> int:
+    """Largest divisor of ``rows`` that is <= ``pref``.
+
+    Never exceeds ``pref``, so the per-program (tile, 4H) intermediate
+    stays within the measured VMEM envelope for EVERY shape — the old
+    ``tile = rows`` fallback for non-dividing row counts could build one
+    giant program (e.g. B=24, L=40 -> a (960, 3072) fp32 intermediate)
+    and overflow scoped VMEM at compile time."""
+    if rows % pref == 0:
+        return pref
+    return max(t for t in range(1, min(pref, rows) + 1) if rows % t == 0)
 
 
 def _mlp_block_xla(ln_p, p_in, p_out, x, eps, act, m=None):
@@ -92,17 +104,18 @@ def fused_mlp_block_fwd(gamma, beta, w1, b1, w2, b2, x, m=None,
                         eps: float = 1e-12, act: str = "gelu",
                         interpret: bool | None = None,
                         row_tile: int = ROW_TILE) -> jax.Array:
-    """x: (..., H) -> same shape.  Rows are tiled at ``row_tile``; shapes
-    whose flattened row count doesn't divide fall back to one tile when
-    small or to the XLA path (callers gate on shape).  ``m``: optional
-    pre-scaled dropout mask on the MLP output."""
+    """x: (..., H) -> same shape.  Rows are tiled at ``row_tile``; row
+    counts that don't divide use the largest divisor <= row_tile
+    (_pick_row_tile), so the per-program intermediate never exceeds the
+    measured VMEM envelope.  ``m``: optional pre-scaled dropout mask on
+    the MLP output."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     shape = x.shape
     h_dim = shape[-1]
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     grid = (rows // tile,)
     row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -252,7 +265,7 @@ def fused_ln_qkv_fwd(gamma, beta, wqkv, bqkv, x, eps: float = 1e-12,
     out_dim = wqkv.shape[1]
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     in_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
@@ -417,7 +430,7 @@ def fused_mlp_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m=None,
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
     g2 = g.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     row_h = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     row_i = pl.BlockSpec((tile, inner), lambda i: (i, 0),
@@ -512,7 +525,7 @@ def fused_mlp_block_fwd_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
     h_dim = shape[-1]
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -618,7 +631,7 @@ def fused_mlp_postln_fwd(gamma, beta, w1, b1, w2, b2, x, m=None,
     h_dim = shape[-1]
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -725,20 +738,116 @@ def fused_postln_mlp(lp, cfg, x, rng, deterministic: bool) -> jax.Array:
                                   drop_mask=mask)
 
 
+# int8 weight-only post-LN variant — the quantized-serving counterpart of
+# _mlp_kernel_q8 for BERT/Tom* towers, so quantize_model_params keeps the
+# fused-kernel speed on the text stacks too (not just the pre-LN ViLT
+# blocks): dequant in-kernel, int8 weight bytes resident in VMEM.
+
+def _mlp_postln_kernel_q8(x_ref, g_ref, bta_ref, w1q_ref, s1_ref, b1_ref,
+                          w2q_ref, s2_ref, b2_ref, out_ref, *, eps, act):
+    x = x_ref[...]
+    w1 = (w1q_ref[...].astype(jnp.float32) * s1_ref[...]).astype(x.dtype)
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    h = _kernel_act(act)(h + b1_ref[0]).astype(x.dtype)
+    w2 = (w2q_ref[...].astype(jnp.float32) * s2_ref[...]).astype(x.dtype)
+    o = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    s = x.astype(jnp.float32) + (o + b2_ref[0])
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
+    y = (s - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (y * g_ref[0] + bta_ref[0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "act", "interpret", "row_tile"))
+def fused_mlp_postln_fwd_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                            eps: float = 1e-12, act: str = "gelu",
+                            interpret: bool | None = None,
+                            row_tile: int = ROW_TILE) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = _pick_row_tile(rows, row_tile)
+    row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    s1_2, s2_2 = s1.reshape(1, -1), s2.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_mlp_postln_kernel_q8, eps=eps, act=act),
+        grid=(rows // tile,),
+        in_specs=[row_spec, full(g2), full(bta2), full(w1q), full(s1_2),
+                  full(b1_2), full(w2q), full(s2_2), full(b2_2)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * h_dim * w1q.shape[1],
+            bytes_accessed=(2 * rows * h_dim * x.dtype.itemsize
+                            + w1q.size + w2q.size),
+            transcendentals=rows * w1q.shape[1],
+        ),
+    )(x2, g2, bta2, w1q, s1_2, b1_2, w2q, s2_2, b2_2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused_mlp_postln_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act):
+    return fused_mlp_postln_fwd_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                                   eps, act)
+
+
+def _fused_mlp_postln_q8_fwd(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                             eps, act):
+    return (_fused_mlp_postln_q8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                                 eps, act),
+            (gamma, beta, w1q, s1, b1, w2q, s2, b2, x))
+
+
+def _fused_mlp_postln_q8_bwd(eps, act, residuals, g):
+    gamma, beta, w1q, s1, b1, w2q, s2, b2, x = residuals
+
+    def f(gamma, beta, s1, b1, s2, b2, x):
+        return _mlp_postln_xla({"scale": gamma, "bias": beta},
+                               {"w_q": w1q, "w_scale": s1, "b": b1},
+                               {"w_q": w2q, "w_scale": s2, "b": b2},
+                               x, eps, act)
+
+    _, vjp = jax.vjp(f, gamma, beta, s1, b1, s2, b2, x)
+    dgamma, dbeta, ds1, db1, ds2, db2, dx = vjp(g)
+    return dgamma, dbeta, None, ds1, db1, None, ds2, db2, dx
+
+
+_fused_mlp_postln_q8.defvjp(_fused_mlp_postln_q8_fwd,
+                            _fused_mlp_postln_q8_bwd)
+
+
 def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                            act: str = "gelu", drop_mask=None) -> jax.Array:
-    """Drop-in for the post-LN MLP half of a BERT encoder layer.
-    ``drop_mask``: optional pre-scaled dropout mask in {0, 1/keep} applied
-    to the MLP output (BertOutput dropout) inside the kernel."""
-    if "w" not in p_in or "w" not in p_out:
-        return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
-    if drop_mask is None:
-        return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
-                                 p_in["b"], p_out["w"], p_out["b"], x, eps,
-                                 act)
-    return _fused_mlp_postln_m(ln_p["scale"], ln_p["bias"], p_in["w"],
-                               p_in["b"], p_out["w"], p_out["b"], x,
-                               drop_mask, eps, act)
+    """Drop-in for the post-LN MLP half of a BERT encoder layer.  Fp and
+    int8 weight-only quantized ({w_q, w_scale}) weights each have a fused
+    kernel, like the pre-LN block.  ``drop_mask``: optional pre-scaled
+    dropout mask in {0, 1/keep} applied to the MLP output (BertOutput
+    dropout) inside the kernel (fp kernels only; quantized weights with a
+    mask fall back)."""
+    if "w" in p_in and "w" in p_out:
+        if drop_mask is None:
+            return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
+                                     p_in["b"], p_out["w"], p_out["b"], x,
+                                     eps, act)
+        return _fused_mlp_postln_m(ln_p["scale"], ln_p["bias"], p_in["w"],
+                                   p_in["b"], p_out["w"], p_out["b"], x,
+                                   drop_mask, eps, act)
+    if "w_q" in p_in and "w_q" in p_out and drop_mask is None:
+        return _fused_mlp_postln_q8(ln_p["scale"], ln_p["bias"],
+                                    p_in["w_q"], p_in["w_scale"], p_in["b"],
+                                    p_out["w_q"], p_out["w_scale"],
+                                    p_out["b"], x, eps, act)
+    return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -822,7 +931,7 @@ def fused_mlp_postln_block_bwd(gamma, beta, w1, b1, w2, b2, x, g, m=None,
     rows = x.size // h_dim
     x2 = x.reshape(rows, h_dim)
     g2 = g.reshape(rows, h_dim)
-    tile = row_tile if rows % row_tile == 0 else rows
+    tile = _pick_row_tile(rows, row_tile)
     row_h = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     row_i = pl.BlockSpec((tile, inner), lambda i: (i, 0),
