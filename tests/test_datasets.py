@@ -422,3 +422,28 @@ def test_tombert_dataset_preprocess_on_fetch_matches_eager(twitter_dir):
     assert le.tolist() == ll.tolist()
     np.testing.assert_allclose(fe["images"], fl["images"], atol=1e-5)
     assert lazy._err_count == eager._err_count  # fallback image counted once
+
+
+def test_canvas_key_predicts_pipeline_bucket_property():
+    """Property test over random raw geometries: canvas_key(h, w) — the
+    orientation-bucketing group key computed WITHOUT decoding — must equal
+    the bucket the actually-processed image lands in, and every processed
+    size must be /32-floored and inside its bucket.  Bucketed sampling is
+    only correct if this invariant holds for arbitrary inputs."""
+    from vault_tpu.data.image import (
+        bucket_canvas,
+        canvas_key,
+        preprocess_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        h = int(rng.integers(8, 1400))
+        w = int(rng.integers(8, 1400))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = preprocess_image(img, safe=True)
+        th, tw = out.shape[1], out.shape[2]
+        assert th % 32 == 0 and tw % 32 == 0, (h, w, th, tw)
+        key = canvas_key(h, w)
+        assert th <= key[0] and tw <= key[1], (h, w, th, tw, key)
+        assert bucket_canvas([out]) == key, (h, w, th, tw, key)
