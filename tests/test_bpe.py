@@ -40,6 +40,7 @@ def _hf(toy):
     "cats dogma the",
     "unicode: café ❤",
     " leading and  double  spaces",
+    "the_cat and__the dog_",  # '_' is \w but not \p{L}: GPT-2 "other" class
 ])
 def test_tokenize_matches_hf(toy, text):
     ours = ByteLevelBPE(*toy)

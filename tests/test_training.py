@@ -705,3 +705,21 @@ def test_trainer_combined_throughput_flags_descend(tmp_path):
     mu_leaf = jax.tree.leaves(tr.opt_state.mu)[0]
     assert mu_leaf.dtype == jnp.bfloat16
     assert not mu_leaf.sharding.is_fully_replicated
+
+
+def test_grad_accum_partial_final_batch(tmp_path):
+    """The final partial batch must pad to a multiple of grad_accum_steps
+    (x dp) — previously the micro-batch reshape crashed mid-epoch whenever
+    num_examples % train_batch_size wasn't divisible by the accum count."""
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=41)  # 41 % 16 = 9
+    from vault_tpu.data.loader import InMemoryDataset
+    from vault_tpu.training.experiment import ExperimentHandler
+    from vault_tpu.training.trainer import TrainArgs, Trainer
+
+    ds = InMemoryDataset(feats, labels)
+    targs = TrainArgs(lr=5e-4, train_batch_size=16, eval_batch_size=16,
+                      num_train_epochs=2, grad_accum_steps=2,
+                      disable_tqdm=True)
+    handler = ExperimentHandler(str(tmp_path), "AccumPartial")
+    Trainer(apply_fn, params, targs, ds, exp_handler=handler).train()
+    assert handler._series["train_loss"]

@@ -74,6 +74,18 @@ class PipelineVault:
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
                  pixel_values=None, pixel_mask=None):
+        # synthesize the optional masks/types like vilt_apply does — the
+        # micro-batch splitter slices every value, so None can't flow through
+        if attention_mask is None:
+            attention_mask = jnp.ones(input_ids.shape, jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros(input_ids.shape, jnp.int32)
+        if pixel_values is None:
+            raise ValueError("PipelineVault requires pixel_values (the ViLT "
+                             "stage has no external image_embeds path here)")
+        if pixel_mask is None:
+            pixel_mask = jnp.ones((pixel_values.shape[0],
+                                   *pixel_values.shape[2:]), jnp.int32)
         micros = self._split(dict(
             input_ids=input_ids, attention_mask=attention_mask,
             token_type_ids=token_type_ids, pixel_values=pixel_values,
@@ -184,21 +196,27 @@ def make_pipeline_train_fn(cfg: VaultConfig, loss_fn, params,
 
     def fn(params, batch, labels, weight, rng=None):
         n = labels.shape[0]
-        mbsz = n // num_micro
+        # ceil split so the remainder rows are COVERED when n % num_micro
+        # != 0 (a floor split silently dropped them while still normalizing
+        # by the full weight.sum(), biasing loss and grads); the weighted-
+        # SUM micro losses make unequal micro sizes exact.  The last micro
+        # may be shorter (at most one extra jit shape).
+        nm = min(num_micro, max(int(n), 1))  # no empty micro-batches
+        mbsz = -(-n // nm)
         to_lm = lambda t: jax.device_put(t, lm_device)
         to_vilt = lambda t: jax.device_put(t, vilt_device)
         p2 = {"vilt": params["vilt"], "head": params["head"]}
 
         def micro(i):
-            sl = slice(i * mbsz, (i + 1) * mbsz)
+            sl = slice(i * mbsz, min(n, (i + 1) * mbsz))
             return ({k: v[sl] for k, v in batch.items()}, labels[sl],
                     weight[sl])
 
         if rng is not None:
-            ks = jax.random.split(rng, 2 * num_micro)
-            lm_rngs, s2_rngs = ks[:num_micro], ks[num_micro:]
+            ks = jax.random.split(rng, 2 * nm)
+            lm_rngs, s2_rngs = ks[:nm], ks[nm:]
         else:
-            lm_rngs = s2_rngs = [None] * num_micro
+            lm_rngs = s2_rngs = [None] * nm
 
         def run_stage2(i):
             mb, lb, wb = micro(i)
@@ -206,20 +224,20 @@ def make_pipeline_train_fn(cfg: VaultConfig, loss_fn, params,
                           to_vilt(lb), to_vilt(wb), s2_rngs[i])
 
         # ---- 1-deep software pipeline: dispatch LM(i+1) before stage2(i)
-        hiddens, stage2_out = [None] * num_micro, [None] * num_micro
-        for i in range(num_micro):
+        hiddens, stage2_out = [None] * nm, [None] * nm
+        for i in range(nm):
             mb, _, _ = micro(i)
             hiddens[i] = lm_fwd(params["bert"],
                                 jax.tree.map(to_lm, mb), lm_rngs[i])
             if i > 0:
                 stage2_out[i - 1] = run_stage2(i - 1)
-        stage2_out[num_micro - 1] = run_stage2(num_micro - 1)
+        stage2_out[nm - 1] = run_stage2(nm - 1)
 
         # ---- backward shuttle: cotangents cross vilt -> lm per micro-batch
         g_bert = None
         loss_sum = jnp.float32(0.0)
         g_p2_acc = None
-        for i in range(num_micro):
+        for i in range(nm):
             val, g_p2, g_hidden = stage2_out[i]
             loss_sum = loss_sum + jax.device_put(val, vilt_device)
             g_p2_acc = g_p2 if g_p2_acc is None else jax.tree.map(

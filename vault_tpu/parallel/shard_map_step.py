@@ -32,8 +32,13 @@ def make_shard_map_train_step(apply_fn, loss_per_example_fn, tx, mesh):
     """
 
     def per_shard(params, opt_state, batch, labels, weight, rng):
+        # per-shard dropout stream: the replicated rng folded with the data
+        # axis index (previously the rng argument was accepted but IGNORED
+        # — dropout silently off in training)
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
         def local_sum_fn(p):
-            logits = apply_fn(p, batch, deterministic=True, rng=None)
+            logits = apply_fn(p, batch, deterministic=False, rng=shard_rng)
             per = loss_per_example_fn(logits, labels)
             # local weighted SUM; normalization by the GLOBAL count below
             return (per * weight.astype(per.dtype)).sum()

@@ -159,14 +159,22 @@ def make_handler(engine: BatchingEngine):
             if self.path != "/predict":
                 self._send(404, {"error": "not found"})
                 return
+            # parse/decode problems are the CLIENT's (400); engine/device
+            # failures are OURS (500) — load balancers and retry policies
+            # depend on the distinction
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length))
                 image = decode_image(base64.b64decode(req["image_b64"]))
-                out = engine.predict(image, req["text"])
-                self._send(200, {"output": np.asarray(out).tolist()})
+                text = req["text"]
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                out = engine.predict(image, text)
+                self._send(200, {"output": np.asarray(out).tolist()})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

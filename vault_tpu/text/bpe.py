@@ -15,6 +15,8 @@ import re
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from vault_tpu.text.roberta_format import RobertaEncodeMixin
+
 
 @lru_cache()
 def bytes_to_unicode() -> Dict[int, str]:
@@ -33,13 +35,18 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-# GPT-2 pre-tokenization pattern (contractions, words, numbers, other, spaces)
+# GPT-2 pre-tokenization pattern (contractions, words, numbers, other,
+# spaces).  The "other" class is GPT-2's [^\s\p{L}\p{N}]+ — python re has
+# no \p{..}, so it's expressed as "not (space|word) OR underscore": '_' is
+# \w but is NOT a letter/number, so GPT-2 treats it as "other"; omitting
+# the |_ silently DROPPED underscores from the token stream.
 _PAT = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+",
     re.UNICODE)
 
 
-class ByteLevelBPE:
+class ByteLevelBPE(RobertaEncodeMixin):
     def __init__(self, vocab, merges, unk_token: str = "<unk>",
                  bos_token: str = "<s>", eos_token: str = "</s>",
                  pad_token: str = "<pad>", mask_token: str = "<mask>"):
@@ -106,54 +113,3 @@ class ByteLevelBPE:
         unk = self.vocab.get(self.unk_token, 0)
         return [self.vocab.get(t, unk) for t in tokens]
 
-    def encode(self, text: str, text_pair: Optional[str] = None,
-               max_length: Optional[int] = None, padding: str = "max_length",
-               truncation: bool = True) -> Dict[str, List[int]]:
-        """RoBERTa format: <s> A </s> [</s> B </s>]; token_type_ids all 0."""
-        a = self.convert_tokens_to_ids(self.tokenize(text))
-        b = (self.convert_tokens_to_ids(self.tokenize(text_pair))
-             if text_pair is not None else None)
-        n_special = 4 if b is not None else 2
-        if truncation and max_length is not None:
-            budget = max_length - n_special
-            if b is None:
-                a = a[:budget]
-            else:
-                while len(a) + len(b) > budget:
-                    if len(a) >= len(b):
-                        a = a[:-1]
-                    else:
-                        b = b[:-1]
-        bos, eos = self.vocab[self.bos_token], self.vocab[self.eos_token]
-        ids = [bos] + a + [eos]
-        if b is not None:
-            ids += [eos] + b + [eos]
-        mask = [1] * len(ids)
-        type_ids = [0] * len(ids)
-        if padding == "max_length" and max_length is not None:
-            pad_n = max_length - len(ids)
-            ids += [self.pad_token_id] * pad_n
-            mask += [0] * pad_n
-            type_ids += [0] * pad_n
-        return {"input_ids": ids, "attention_mask": mask,
-                "token_type_ids": type_ids}
-
-    def batch_encode(self, texts: Sequence[str],
-                     text_pairs: Optional[Sequence[Optional[str]]] = None,
-                     max_length: Optional[int] = None,
-                     padding: str = "max_length", truncation: bool = True):
-        import numpy as np
-
-        if text_pairs is None:
-            text_pairs = [None] * len(texts)
-        encs = [self.encode(t, p, max_length, padding, truncation)
-                for t, p in zip(texts, text_pairs)]
-        if padding != "max_length" or max_length is None:
-            max_len = max(len(e["input_ids"]) for e in encs)
-            for e in encs:
-                pad_n = max_len - len(e["input_ids"])
-                e["input_ids"] += [self.pad_token_id] * pad_n
-                e["attention_mask"] += [0] * pad_n
-                e["token_type_ids"] += [0] * pad_n
-        return {k: np.asarray([e[k] for e in encs], np.int32)
-                for k in ("input_ids", "attention_mask", "token_type_ids")}

@@ -100,12 +100,17 @@ class EntityLinker:
         results = process_results(mentions, preds, inputs)
         out: Dict[str, Tuple[Optional[str], Optional[str]]] = {}
         for t in targets:
-            ent = None
-            for span in results.get(t, []):
-                if span[5] >= self.threshold:  # confidence
-                    ent = span[3]
-                    break
-            out[t] = (ent, self._describe(ent) if ent else None)
+            spans = results.get(t, [])
+            if not spans:
+                out[t] = (None, None)
+                continue
+            # reference semantics (vault/entity_linking.py:88-92): the
+            # entity is KEPT below threshold; only the description is
+            # withheld — matching OfflineEntityLinker, so cache files from
+            # either backend are interchangeable
+            ent, conf = spans[0][3], spans[0][5]
+            out[t] = (ent, self._describe(ent)
+                      if conf >= self.threshold else None)
         return out
 
     def _describe(self, entity: str) -> Optional[str]:
@@ -211,11 +216,11 @@ def integrate_entities_into_embeddings(word_embeddings: jnp.ndarray,
     dim = word_embeddings.shape[1]
     new_rows = np.zeros((n_new, dim), np.float32)
     emb = np.asarray(word_embeddings)
-    for i, description in enumerate(reversed(descriptions)):
+    for i, description in enumerate(descriptions):  # add-order == row order
         ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(description))
         ids = [j for j in ids if j < emb.shape[0]]
         if ids:
-            new_rows[n_new - 1 - i] = emb[ids].max(axis=0)
+            new_rows[i] = emb[ids].max(axis=0)
     return jnp.concatenate([word_embeddings, jnp.asarray(new_rows)], axis=0)
 
 

@@ -128,10 +128,17 @@ def twitter_preprocessor(normalized_tags: Optional[List[str]] = None,
     return process
 
 
+# emoji-style codepoints BELOW the U+2190 arrows/symbols cutoff that
+# emoji.demojize still converts (common in tweets): copyright, registered,
+# double exclamation, exclamation question, information source, trade mark
+_LOW_EMOJI = frozenset(map(ord, "©®‼⁉ℹ™"))
+
+
 def _demojize_en(text: str, delimiters=("(", ")")) -> str:
     out = []
     for ch in text:
-        if ord(ch) >= 0x2190:  # arrows/symbols/emoji planes
+        cp = ord(ch)
+        if cp >= 0x2190 or cp in _LOW_EMOJI:  # arrows/symbols/emoji planes
             try:
                 name = unicodedata.name(ch).lower()
             except ValueError:

@@ -471,7 +471,10 @@ class Trainer:
 
     # -------------------------------------------------------------- helpers
     def _pad(self, batch, labels):
-        multiple = self.dp
+        # rows must split evenly into grad_accum_steps micro-batches AND
+        # each micro-batch must shard over the dp axis — pad the final
+        # partial batch to a multiple of both (padded rows carry weight 0)
+        multiple = self.dp * max(1, self.args.grad_accum_steps)
         merged = {**batch, "__labels__": labels}
         padded, n = pad_to_multiple(merged, multiple)
         labels_p = padded.pop("__labels__")
