@@ -18,7 +18,7 @@ Parity is asserted against ``BertweetTokenizer`` in tests/test_fastbpe.py.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from vault_tpu.text.roberta_format import RobertaEncodeMixin
 
