@@ -97,9 +97,12 @@ def main():
     if precast:
         params = cast_bf16(params)
 
-    def loss_fn(p, pixel_scale):
-        b = dict(batch)
-        b["pixel_values"] = batch["pixel_values"] * pixel_scale
+    # batch/labels are jit ARGUMENTS everywhere below (never closed over:
+    # the 57 MB pixel tensor would bake into the HLO and bloat/413 the
+    # remote compile relay upload -- the same rule slope() documents)
+    def loss_fn(p, b_in, lbl, pixel_scale):
+        b = dict(b_in)
+        b["pixel_values"] = b_in["pixel_values"] * pixel_scale
         logits = vault_for_classification(p if precast else cast_bf16(p),
                                           cfg, b,
                                           head_dropout=0.1,
@@ -107,19 +110,19 @@ def main():
                                           rng=jax.random.PRNGKey(0),
                                           remat=REMAT)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-        return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+        return -jnp.take_along_axis(logp, lbl[:, None], axis=-1).mean()
 
     variants = os.environ.get("ABLATE_VARIANTS", "fwd,fwdbwd,opt,full").split(",")
     results = {}
 
     if "fwd" in variants:
         @jax.jit
-        def run_fwd(params, k):
+        def run_fwd(params, b, lbl, k):
             def body(_, l):
-                return loss_fn(params, 1.0 + l * 1e-9)
+                return loss_fn(params, b, lbl, 1.0 + l * 1e-9)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        results["fwd"] = slope(run_fwd, lambda x: x, (params,))
+        results["fwd"] = slope(run_fwd, lambda x: x, (params, batch, labels))
         print(json.dumps({"variant": "fwd",
                           "ms": round(results["fwd"] * 1e3, 2)}), flush=True)
 
@@ -134,13 +137,15 @@ def main():
                 lambda a, g: a + jnp.sum(g.astype(jnp.float32)), grads, 0.0)
 
         @jax.jit
-        def run_fwdbwd(params, k):
+        def run_fwdbwd(params, b, lbl, k):
             def body(_, l):
-                val, grads = jax.value_and_grad(loss_fn)(params, 1.0 + l * 1e-9)
+                val, grads = jax.value_and_grad(loss_fn)(
+                    params, b, lbl, 1.0 + l * 1e-9)
                 return val * 0 + gnorm(grads) * 1e-12
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        results["fwdbwd"] = slope(run_fwdbwd, lambda x: x, (params,))
+        results["fwdbwd"] = slope(run_fwdbwd, lambda x: x,
+                                  (params, batch, labels))
         print(json.dumps({"variant": "fwdbwd", "remat": REMAT,
                           "note": "includes ~1ms/iter gnorm barrier",
                           "ms": round(results["fwdbwd"] * 1e3, 2)}), flush=True)
@@ -172,17 +177,19 @@ def main():
 
     if "full" in variants:
         @jax.jit
-        def run_full(params, opt_state, k):
+        def run_full(params, opt_state, b, lbl, k):
             def body(_, carry):
                 p, s, l = carry
-                val, grads = jax.value_and_grad(loss_fn)(p, 1.0 + l * 1e-9)
+                val, grads = jax.value_and_grad(loss_fn)(
+                    p, b, lbl, 1.0 + l * 1e-9)
                 updates, s = tx.update(grads, s, p)
                 return optax.apply_updates(p, updates), s, val
             _, _, val = jax.lax.fori_loop(
                 0, k, body, (params, opt_state, jnp.float32(0.0)))
             return val
 
-        results["full"] = slope(run_full, lambda x: x, (params, opt_state))
+        results["full"] = slope(run_full, lambda x: x,
+                                (params, opt_state, batch, labels))
         print(json.dumps({"variant": "full", "remat": REMAT,
                           "opt_dtype": OPT_DTYPE or "float32",
                           "ms": round(results["full"] * 1e3, 2)}), flush=True)

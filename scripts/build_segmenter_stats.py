@@ -351,7 +351,12 @@ def main():
                 continue
             rank += 1
             zipf = int(60_000_000 / (rank + 10) ** 1.05)
-            table[w] = max(table.get(w, 0), zipf, tail_max + 1)
+            # zipf PLUS the tail ceiling: curated words always outrank the
+            # harvested tail while PRESERVING their own Zipf ordering — the
+            # old max(..., zipf, tail_max+1) collapsed every curated word
+            # past rank ~220 to one flat count, destroying the inter-band
+            # magnitude separation the BANDS design depends on
+            table[w] = max(table.get(w, 0), zipf + tail_max + 1)
     print(f"total vocabulary {len(table)}", file=sys.stderr)
 
     os.makedirs(OUT_DIR, exist_ok=True)

@@ -155,13 +155,20 @@ def resize_stage(image: np.ndarray, shorter: int = SHORTER,
                  longer: Optional[int] = None,
                  max_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """target-size -> resize+normalize.  rng-free and GIL-releasing (native
-    core / PIL), so this stage parallelizes across a batch."""
+    core / PIL), so this stage parallelizes across a batch.
+
+    ``max_hw`` clamps ASPECT-PRESERVINGLY: both sides scale by the same
+    factor (then /32 floor) when the natural target exceeds the canvas —
+    independent per-side clamps would silently distort any non-square
+    image on a small fixed canvas (e.g. ``--canvas 384x384``)."""
     if longer is None:
         longer = int(1333 / 800 * shorter)
     h, w = np.asarray(image).shape[:2]
     th, tw = target_size(h, w, shorter, longer)
-    if max_hw is not None:
-        th, tw = min(th, max_hw[0]), min(tw, max_hw[1])
+    if max_hw is not None and (th > max_hw[0] or tw > max_hw[1]):
+        s = min(max_hw[0] / th, max_hw[1] / tw)
+        th = max(SIZE_DIVISOR, int(th * s) // SIZE_DIVISOR * SIZE_DIVISOR)
+        tw = max(SIZE_DIVISOR, int(tw * s) // SIZE_DIVISOR * SIZE_DIVISOR)
     return resize_normalize(np.asarray(image), (th, tw))
 
 

@@ -132,25 +132,41 @@ def prefetch(iterator, size: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not put(item):
+                    return  # consumer gone: drop queued batches, exit thread
         except BaseException as e:  # surface worker errors in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # early break / generator close (max_steps, early stopping): unblock
+        # and retire the worker instead of leaking it plus its queued batches
+        stop.set()
 
 
 class LazyDataset:

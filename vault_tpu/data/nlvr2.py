@@ -59,14 +59,14 @@ class Nlvr2Dataset:
         for start in range(0, self.num_examples, batch_size):
             sel = idx[start:start + batch_size]
             feats = {k: v[sel] for k, v in self._text_enc.items()}
-            pvs, pms = [], []
-            for img_slot in (0, 1):
-                images = [load_image_file(self.image_pairs[i][img_slot])
-                          for i in sel]
-                pv, pm = self.processor.encode_images(images)
-                pvs.append(pv)
-                pms.append(pm)
+            # ONE encode over both slots so they share a canvas — with the
+            # auto-bucketed default, per-slot encodes could bucket to
+            # different shapes and the (B, 2, ...) stack would crash
+            images = [load_image_file(self.image_pairs[i][s])
+                      for s in (0, 1) for i in sel]
+            pv, pm = self.processor.encode_images(images)
+            b = len(sel)
             # (B, num_images=2, C, H, W) / (B, 2, H, W)
-            feats["pixel_values"] = np.stack(pvs, axis=1)
-            feats["pixel_mask"] = np.stack(pms, axis=1)
+            feats["pixel_values"] = np.stack([pv[:b], pv[b:]], axis=1)
+            feats["pixel_mask"] = np.stack([pm[:b], pm[b:]], axis=1)
             yield feats, self.labels[sel]

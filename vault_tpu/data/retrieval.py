@@ -41,8 +41,31 @@ class RetrievalDataset:
         return (self.num_examples + batch_size - 1) // batch_size
 
     def _pixels_for(self, img_idx: Sequence[int]):
-        imgs = [self._images[i] for i in img_idx]
-        return self.processor.encode_images(imgs)
+        """Per-image resize/normalize cached by image index — the all-pairs
+        eval visits every image n times (and training once per negative
+        reference), so uncached encoding would be O(n^2) host work.  Same
+        values as processor.encode_images (no augmentation on this path):
+        cached tensors are pre-pad, the batch canvas is applied here."""
+        from vault_tpu.data.image import (
+            bucket_canvas,
+            pad_batch,
+            preprocess_image,
+        )
+
+        proc = self.processor
+        auto = proc.canvas == "auto"
+        max_hw = None if auto else proc.canvas
+        processed = []
+        for i in img_idx:
+            arr = self._pixel_cache.get(i)
+            if arr is None:
+                arr = preprocess_image(self._images[i], safe=proc.safe_images,
+                                       shorter=proc.shorter,
+                                       longer=proc.longer, max_hw=max_hw)
+                self._pixel_cache[i] = arr
+            processed.append(arr)
+        canvas = bucket_canvas(processed) if auto else proc.canvas
+        return pad_batch(processed, canvas=canvas)
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 rng: Optional[np.random.Generator] = None):

@@ -29,9 +29,14 @@ def imagenet_preprocess(image: np.ndarray, crop_size: int = 224) -> np.ndarray:
     h, w = image.shape[:2]
     scale = crop_size / min(h, w)
     nh, nw = max(crop_size, round(h * scale)), max(crop_size, round(w * scale))
-    img = jax.image.resize(np.asarray(image, np.float32), (nh, nw, 3),
-                           method="bilinear", antialias=True)
-    img = np.asarray(img)
+    # host-side work pinned to the CPU backend: with a TPU default backend
+    # this per-image, per-shape eager resize would otherwise compile one
+    # REMOTE program per distinct source geometry (docs/NOTES.md: ~minutes
+    # each through the tunnel, no cache)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        img = jax.image.resize(np.asarray(image, np.float32), (nh, nw, 3),
+                               method="bilinear", antialias=True)
+        img = np.asarray(img)
     top, left = (nh - crop_size) // 2, (nw - crop_size) // 2
     img = img[top:top + crop_size, left:left + crop_size]
     img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD

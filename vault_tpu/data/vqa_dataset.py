@@ -104,4 +104,7 @@ class VqaDataset:
             pv, pm = self.processor.encode_images(images)
             feats["pixel_values"] = pv
             feats["pixel_mask"] = pm
+            # rows without usable annotations get weight 0 (Trainer._pad
+            # folds this into the loss weight)
+            feats["label_weights"] = self.label_weights[sel]
             yield feats, self.labels[sel]

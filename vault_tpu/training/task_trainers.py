@@ -167,10 +167,12 @@ class ImagesAndTextTrainer(Trainer):
 
 
 class VqaTrainer(Trainer):
-    """Soft answer-score targets; rows with no annotation carry an all-zero
-    score vector + a validity flag column in ``labels[..., -1]`` is NOT used —
-    instead a separate ``label_weights`` feature key marks valid rows (the
-    reference filters None labels, vault/models/vault/trainer.py:215-249)."""
+    """Soft answer-score targets.  Rows with no usable annotation (all
+    answers outside the label vocab) carry an all-zero score vector; the
+    dataset's ``label_weights`` feature zeroes them out of the loss
+    (Trainer._pad folds it into the loss weight) and eval skips them —
+    the reference's None-label filtering
+    (vault/models/vault/trainer.py:215-249)."""
 
     def calculate_loss(self, logits, labels, weight, train):
         return losses.vqa_bce(logits, labels, weight)
@@ -182,8 +184,10 @@ class VqaTrainer(Trainer):
         return np.asarray(labels).tolist()
 
     def evaluation_metrics(self, y_true, y_pred):
-        # VQA accuracy = score of the chosen answer
-        scores = [label[pred] for pred, label in zip(y_pred, y_true)]
+        # VQA accuracy = score of the chosen answer; unlabeled rows
+        # (all-zero score vectors) are excluded, not counted as 0
+        scores = [label[pred] for pred, label in zip(y_pred, y_true)
+                  if np.asarray(label).sum() > 0]
         return {"eval_accuracy": float(np.mean(scores)) if scores else 0.0}
 
 

@@ -480,6 +480,13 @@ class Trainer:
         labels_p = padded.pop("__labels__")
         total = next(iter(jax.tree.leaves(padded))).shape[0]
         weight = (np.arange(total) < n).astype(np.float32)
+        # per-row validity from the dataset (e.g. VQA rows whose answers all
+        # fall outside the label vocab — the reference filters None labels,
+        # vault/models/vault/trainer.py:215-249) folds into the loss weight
+        # and never reaches apply_fn
+        lw = padded.pop("label_weights", None)
+        if lw is not None:
+            weight = weight * np.asarray(lw, np.float32)
         return padded, labels_p, weight
 
     # ------------------------------------------------- failure recovery ---
