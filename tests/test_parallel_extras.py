@@ -128,6 +128,28 @@ def test_pipeline_train_grads_match_single_device():
     for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    # ADVICE r2 regression: the ceil micro split must not run an EMPTY final
+    # micro-batch — n=9 with num_micro=4 used to slice [0:3],[3:6],[6:9],
+    # [9:9] (nm is now re-derived as ceil(n/mbsz) = 3 non-empty micros);
+    # remainder rows still covered, grads still exact
+    batch9 = {k: jnp.asarray(v) for k, v in _batch(cfg, n=9).items()}
+    labels9 = jnp.asarray(np.random.default_rng(1).integers(0, 3, 9))
+    weight9 = jnp.ones(9, jnp.float32)
+
+    def ref_loss9(p):
+        logits = vault_for_classification(p, cfg, batch9, head_dropout=0.0,
+                                          deterministic=True)
+        return softmax_cross_entropy(logits, labels9, weight9)
+
+    ref_val9, ref_grads9 = jax.value_and_grad(ref_loss9)(params)
+    fn9 = make_pipeline_train_fn(cfg, softmax_cross_entropy, params,
+                                 lm_device=devs[0], vilt_device=devs[1],
+                                 num_micro=4)
+    val9, grads9 = fn9(placed, batch9, labels9, weight9, None)
+    assert abs(float(val9) - float(ref_val9)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ref_grads9), jax.tree.leaves(grads9)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
 
 def test_vqa_normalize():
     from vault_tpu.data.vqa import answer_scores, normalize_word

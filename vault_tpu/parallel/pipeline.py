@@ -201,8 +201,12 @@ def make_pipeline_train_fn(cfg: VaultConfig, loss_fn, params,
         # by the full weight.sum(), biasing loss and grads); the weighted-
         # SUM micro losses make unequal micro sizes exact.  The last micro
         # may be shorter (at most one extra jit shape).
-        nm = min(num_micro, max(int(n), 1))  # no empty micro-batches
+        nm = min(num_micro, max(int(n), 1))
         mbsz = -(-n // nm)
+        # re-derive nm from the ceil size: with mbsz=ceil(n/nm) the final
+        # slice is empty whenever (nm-1)*mbsz >= n (e.g. n=9, num_micro=4 ->
+        # [0:3],[3:6],[6:9],[9:9]); ceil(n/mbsz) counts only non-empty slices
+        nm = -(-max(int(n), 1) // mbsz)
         to_lm = lambda t: jax.device_put(t, lm_device)
         to_vilt = lambda t: jax.device_put(t, vilt_device)
         p2 = {"vilt": params["vilt"], "head": params["head"]}
