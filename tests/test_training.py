@@ -189,12 +189,12 @@ def test_dp_mesh_matches_single_device():
         b, l, w = tr._pad(batch, labels[:16])
         from vault_tpu.parallel.mesh import shard_batch
         newp, _, loss_acc = tr._train_step(tr.params, tr.opt_state,
-                                           jnp.float32(0.0),
+                                           jnp.zeros((2,), jnp.float32),
                                            shard_batch(tr.mesh, b),
                                            shard_batch(tr.mesh, l),
                                            shard_batch(tr.mesh, w),
                                            jax.random.PRNGKey(1))
-        results[shards] = (float(loss_acc) / 16, jax.device_get(newp))
+        results[shards] = (float(loss_acc[0]) / 16, jax.device_get(newp))
     assert abs(results[1][0] - results[8][0]) < 1e-5
     flat1 = jax.tree.leaves(results[1][1])
     flat8 = jax.tree.leaves(results[8][1])
@@ -496,7 +496,7 @@ def test_zero_opt_sharding_matches_replicated():
         b, l, w = tr._pad(batch, labels[:16])
         from vault_tpu.parallel.mesh import shard_batch
         newp, new_opt, loss_acc = tr._train_step(
-            tr.params, tr.opt_state, jnp.float32(0.0),
+            tr.params, tr.opt_state, jnp.zeros((2,), jnp.float32),
             shard_batch(tr.mesh, b), shard_batch(tr.mesh, l),
             shard_batch(tr.mesh, w), jax.random.PRNGKey(1))
         if zero:
@@ -506,7 +506,7 @@ def test_zero_opt_sharding_matches_replicated():
                      if hasattr(x, "sharding") and np.ndim(x) > 0]
             assert any("data" in (s or ()) for spec in specs
                        for s in [tuple(spec)]), specs
-        results[zero] = (float(loss_acc), jax.device_get(newp),
+        results[zero] = (float(loss_acc[0]), jax.device_get(newp),
                          jax.device_get(new_opt))
     assert abs(results[False][0] - results[True][0]) < 1e-6
     for a, b in zip(jax.tree.leaves(results[False][1]),

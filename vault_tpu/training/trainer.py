@@ -124,8 +124,9 @@ class TrainArgs:
     # accuracy-parity default)
     opt_state_dtype: Optional[str] = None
     # grad buffer dtype between backward and optimizer ("bfloat16" halves
-    # that read/write traffic; lossless under bf16 compute because the
-    # grads are upcast bf16 matmul outputs — see train_step)
+    # that read/write traffic; NEAR-lossless, not free — bias/embedding
+    # grads and fp32-accumulated matmul outputs do lose mantissa bits in
+    # the cast.  Compare against fp32 grads when validating parity.
     grad_dtype: Optional[str] = None
     # ZeRO-1: shard AdamW m/v over the DP mesh axis (parallel/zero.py) —
     # each chip stores 1/N of the moments and does 1/N of the update,
@@ -192,6 +193,11 @@ class Trainer:
         self.exp_handler = exp_handler or ExperimentHandler()
         self.mesh = mesh if mesh is not None else make_mesh(args.num_data_shards)
         self.dp = int(self.mesh.shape["data"])
+        # multi-host: every process runs the same deterministic loop (same
+        # seeded shuffle, same metrics); only process 0 touches the
+        # filesystem for logs/plots/weight saves, and checkpoints go through
+        # the orbax multihost path (all processes participate)
+        self.p0 = jax.process_index() == 0
         self.tensor_parallel = tensor_parallel
         self.params = self._place(params)
         self.early_stopping = EarlyStopping(
@@ -280,12 +286,12 @@ class Trainer:
                 loss = loss_sum / denom
                 grads = jax.tree.map(lambda g: g / denom, grad_sum)
             if a.grad_dtype == "bfloat16":
-                # Under bf16 compute the grads carry only bf16 information
-                # (each leaf is a bf16 matmul output upcast by the
-                # cast_compute backward), so storing them fp32 between the
-                # backward and the optimizer is pure HBM traffic; the cast
-                # lets XLA materialize 2-byte buffers.  The optimizer
-                # upcasts per-element (fp32 update math either way).
+                # Storing grads bf16 between backward and optimizer halves
+                # that HBM traffic, but it is a (small) precision trade, not
+                # free: gradient leaves are fp32-ACCUMULATED matmul outputs,
+                # and bias/embedding grads sum many contributions, so the
+                # cast discards real mantissa bits.  The optimizer upcasts
+                # per-element (fp32 update math either way).
                 grads = jax.tree.map(
                     lambda g: g.astype(jnp.bfloat16)
                     if jnp.issubdtype(g.dtype, jnp.floating) else g, grads)
@@ -295,10 +301,13 @@ class Trainer:
             # fetches per-step (a per-step float(loss) forces a device→host
             # sync that serializes dispatch — through this environment's
             # tunnel it dominated the 41 ms step). `loss` is the weighted
-            # mean over valid rows, so loss * weight.sum() restores the
-            # per-window example-weighted sum the reference logs
-            # (vault/tmsc_utils/trainer.py:319-404 windowed train loss).
-            return params, opt_state, loss_acc + loss * weight.sum()
+            # mean over valid rows; the accumulator carries BOTH the
+            # weighted loss sum and the valid-row mass, so the window mean
+            # divides by the rows that actually contributed (padded and
+            # label_weights-zeroed rows excluded) — the reference's windowed
+            # train loss, vault/tmsc_utils/trainer.py:319-404.
+            wsum = weight.sum()
+            return params, opt_state, loss_acc + jnp.stack([loss * wsum, wsum])
 
         def eval_step(params, batch, labels, weight):
             logits = self.apply_fn(cast_compute(params), batch,
@@ -319,7 +328,14 @@ class Trainer:
                                        out_shardings=out_sh)
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(eval_step)
+        # eval outputs pinned REPLICATED: XLA all-gathers the logits across
+        # the data axis on device, so the host fetch is one transfer of an
+        # addressable array — required for multi-host (a data-sharded output
+        # is not fully addressable from any single process) and strictly
+        # fewer round trips through the TPU tunnel either way
+        from vault_tpu.parallel.mesh import replicated
+        rep = replicated(self.mesh)
+        self._eval_step = jax.jit(eval_step, out_shardings=(rep, rep))
 
     # ----------------------------------------------------------------- loop
     def train(self):
@@ -338,8 +354,9 @@ class Trainer:
         # profile the first full post-compile window (also correct under
         # --resume, where fast-forward skips past the early windows)
         profiling, profiled, profile_stop = False, False, 0
-        # window_acc is a DEVICE scalar threaded through the jitted step; the
-        # host fetches it once per eval window, never per step
+        # window_acc is a DEVICE [loss_sum, valid_mass] pair threaded through
+        # the jitted step; the host fetches it once per eval window, never
+        # per step
         window_acc, window_n, window_t0 = None, 0, time.perf_counter()
         # NOTE: resume restores params/opt_state/step; early-stopping counters
         # restart (checkpoints are written at eval-window boundaries, so the
@@ -354,7 +371,7 @@ class Trainer:
                 from vault_tpu.data.loader import prefetch
 
                 batch_iter = prefetch(batch_iter, a.prefetch_batches)
-            pbar = _progress(batch_iter, a.disable_tqdm,
+            pbar = _progress(batch_iter, a.disable_tqdm or not self.p0,
                              total=steps_per_epoch,
                              desc=f"epoch {epoch + 1}/{int(a.num_train_epochs)}")
             for batch, labels in pbar:
@@ -366,7 +383,7 @@ class Trainer:
                     early_stop = True
                     break
                 if step % eval_steps == 0:
-                    window_acc, window_n = jnp.float32(0.0), 0
+                    window_acc, window_n = jnp.zeros((2,), jnp.float32), 0
                     window_t0 = time.perf_counter()
                     if a.profile_dir and not profiling and not profiled \
                             and step >= start_step + eval_steps:
@@ -375,7 +392,11 @@ class Trainer:
 
                 n = labels.shape[0]
                 batch, labels, weight = self._pad(batch, labels)
-                rng, step_rng = jax.random.split(rng)
+                # per-step dropout key is a pure function of (seed, step) so
+                # a resumed run reproduces the exact stream the uninterrupted
+                # run would have used from start_step on (sequential split
+                # would skip no draws during fast-forward and de-sync)
+                step_rng = jax.random.fold_in(rng, step)
                 self.params, self.opt_state, window_acc = self._train_step(
                     self.params, self.opt_state, window_acc,
                     shard_batch(self.mesh, batch),
@@ -386,7 +407,7 @@ class Trainer:
                 if (step + 1) % eval_steps == 0:
                     # the single host sync of the window; forces the whole
                     # step chain, so elapsed-time here is real wall time
-                    window_loss = float(window_acc)
+                    window_sum, window_mass = np.asarray(window_acc)
                     if profiling and (step + 1) >= profile_stop:
                         jax.profiler.stop_trace()
                         profiling, profiled = False, True
@@ -394,7 +415,8 @@ class Trainer:
                                     a.profile_dir)
                     self.window_times.append(
                         (time.perf_counter() - window_t0, window_n))
-                    results = dict(train_loss=window_loss / max(window_n, 1))
+                    results = dict(
+                        train_loss=window_sum / max(float(window_mass), 1e-9))
                     if hasattr(pbar, "set_postfix"):
                         pbar.set_postfix(
                             train_loss=f"{results['train_loss']:.4f}")
@@ -441,6 +463,8 @@ class Trainer:
         return self.params
 
     def train_end(self):
+        if not self.p0:
+            return  # non-zero processes hold identical state; only 0 writes
         self.exp_handler.log()
         if self.args.model_save:
             self.save_weights(self.exp_handler.model_save_filename)
@@ -454,13 +478,19 @@ class Trainer:
         total_loss, preds, trues = 0.0, [], []
         for batch, labels in _progress(
                 dataset.batches(a.eval_batch_size, shuffle=False),
-                a.disable_tqdm, total=dataset.num_batches(a.eval_batch_size),
+                a.disable_tqdm or not self.p0,
+                total=dataset.num_batches(a.eval_batch_size),
                 desc="eval", leave=False):
             n = labels.shape[0]
             batch_p, labels_p, weight = self._pad(batch, labels)
             logits, loss = self._eval_step(
                 self.params, shard_batch(self.mesh, batch_p),
                 shard_batch(self.mesh, labels_p), shard_batch(self.mesh, weight))
+            # ONE host transfer per eval batch: logits must come to host for
+            # sklearn metrics anyway, so the loss rides the same fetch instead
+            # of paying a second device→host round trip (the train loop's
+            # per-step-sync discipline, applied to eval)
+            logits, loss = jax.device_get((logits, loss))
             total_loss += float(loss) * n
             logits = np.asarray(logits)[:n]
             preds.extend(self.get_eval_preds(logits))
@@ -499,11 +529,21 @@ class Trainer:
         return os.path.join(self.args.checkpoint_dir, "last.ckpt")
 
     def _maybe_checkpoint(self, step: int):
-        from vault_tpu.training.checkpoint import save_checkpoint
-
         path = self._ckpt_path
         if path is None:
             return
+        if jax.process_count() > 1:
+            # multi-host: shards of a ZeRO/TP-sharded opt_state are not
+            # addressable from any single process, so the npz device_get
+            # path would throw — orbax writes each process's shards in a
+            # coordinated save that ALL processes must enter
+            from vault_tpu.training.checkpoint import save_checkpoint_multihost
+            save_checkpoint_multihost(
+                path, {"params": self.params, "opt_state": self.opt_state,
+                       "step": np.asarray(step)})
+            return
+        from vault_tpu.training.checkpoint import save_checkpoint
+
         save_checkpoint(path, {"params": jax.device_get(self.params),
                                "opt_state": jax.device_get(self.opt_state),
                                "step": np.asarray(step)})
@@ -511,10 +551,27 @@ class Trainer:
     def _maybe_resume(self) -> int:
         import os
 
+        path = self._ckpt_path
+        if path is None:
+            return 0
+        if jax.process_count() > 1:
+            if not os.path.isdir(path):
+                return 0
+            from vault_tpu.training.checkpoint import (
+                restore_checkpoint_multihost,
+            )
+
+            state = restore_checkpoint_multihost(
+                path, {"params": self.params, "opt_state": self.opt_state,
+                       "step": np.asarray(0)})
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            step = int(state["step"])
+            logger.info("resumed (multihost) from %s at step %d", path, step)
+            return step
         from vault_tpu.training.checkpoint import restore_checkpoint
 
-        path = self._ckpt_path
-        if path is None or not os.path.exists(path + ".npz"):
+        if not os.path.exists(path + ".npz"):
             return 0
         target = {"params": jax.device_get(self.params),
                   "opt_state": jax.device_get(self.opt_state),
