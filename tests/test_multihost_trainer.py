@@ -1,0 +1,50 @@
+"""The REAL Trainer across a process boundary (VERDICT r2 item 1+4): two OS
+processes x 2 virtual CPU devices run ``Trainer.train()`` end-to-end on a
+global 4-device mesh — per-process batch contribution via
+``make_array_from_callback``, process-0-only ExperimentHandler writes, orbax
+multihost checkpointing with mid-schedule resume — and the loss/metric series
+and final params must match a single-process run on the same 4-shard mesh."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from vault_tpu.parallel.multihost import run_training, spawn_workers
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_two_process_trainer_matches_single_process(tmp_path):
+    outdir = str(tmp_path / "mh")
+    os.makedirs(outdir)
+    # the "ckpt" scenario also proves orbax multihost save + resume INSIDE
+    # the workers (resumed finals asserted against the uninterrupted run's)
+    spawn_workers(outdir, num_processes=2, local_devices=2, scenario="ckpt")
+
+    with open(os.path.join(outdir, "results.json")) as f:
+        mh_series = json.load(f)["series"]
+    mh_params = dict(np.load(os.path.join(outdir, "params.npz")))
+
+    # identical config single-process: same 4-wide data axis, same seed
+    sp_series, sp_final = run_training(str(tmp_path / "sp"), num_data=4)
+
+    assert set(mh_series) == set(sp_series), (mh_series.keys(), sp_series.keys())
+    for k in sp_series:
+        np.testing.assert_allclose(np.asarray(mh_series[k]),
+                                   np.asarray(sp_series[k]), atol=1e-5,
+                                   err_msg=k)
+
+    from vault_tpu.parallel.multihost import _flatten_params
+    sp_flat = _flatten_params(sp_final)
+    assert set(mh_params) == set(sp_flat)
+    for k, v in sp_flat.items():
+        np.testing.assert_allclose(mh_params[k], np.asarray(v), atol=2e-5,
+                                   err_msg=k)
+
+    # process-0-only filesystem discipline: exactly one process wrote logs
+    logdir = os.path.join(outdir, "logs", "multihost", "default_0")
+    with open(os.path.join(logdir, "metrics.yml")) as f:
+        content = f.read()
+    assert content.count("experiment_") == 1, content

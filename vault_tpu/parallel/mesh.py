@@ -57,15 +57,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_global(x, sh: NamedSharding):
+    """Host value -> global jax.Array with sharding ``sh``.
+
+    Single-process: plain ``device_put``.  Multi-process (the mesh spans
+    devices this process cannot address): every process holds the identical
+    host-global value — the deterministic seeded shuffle guarantees it — and
+    ``make_array_from_callback`` hands each *addressable* device its own
+    slice, so only the local rows are materialized on this host's devices and
+    no cross-host data movement happens at input time (SURVEY.md §2.8
+    multi-host DCN; the reference has no distributed loader at all)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def shard_batch(mesh: Mesh, batch):
     """Host batch dict -> device arrays sharded along axis 0 over "data"."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put_global(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put_global(x, sh), tree)
 
 
 def pad_to_multiple(batch, multiple: int):
