@@ -311,9 +311,17 @@ WORD = re.compile(r"[a-z]{2,24}$")
 
 
 def harvest_counts():
+    """(unigram, bigram) Counters over English prose shipped in the image.
+
+    Bigrams are consecutive word pairs within a line — the same sources that
+    feed the unigram tail, so the conditional statistics are drawn from the
+    distribution the unigrams came from (ekphrasis' twitter_2018 model is
+    bigram-backed, vault/utils.py:196-207; 27 hand-picked pairs were a
+    placeholder, VERDICT r2 item 7)."""
     roots = ["/opt/venv/lib/python3.12/site-packages", "/usr/share/doc"]
     pats = ["**/*.md", "**/*.rst", "**/*.txt", "**/LICENSE*", "**/README*"]
     counts = collections.Counter()
+    bigrams = collections.Counter()
     seen = 0
     for root in roots:
         for pat in pats:
@@ -326,17 +334,24 @@ def harvest_counts():
                 except OSError:
                     continue
                 seen += 1
-                for tok in re.findall(r"[A-Za-z]+", text):
-                    t = tok.lower()
-                    if WORD.match(t):
-                        counts[t] += 1
-    print(f"harvested {len(counts)} distinct words from {seen} files",
-          file=sys.stderr)
-    return counts
+                for line in text.splitlines():
+                    prev = None
+                    for tok in re.findall(r"[A-Za-z]+", line):
+                        t = tok.lower()
+                        if WORD.match(t):
+                            counts[t] += 1
+                            if prev is not None:
+                                bigrams[(prev, t)] += 1
+                            prev = t
+                        else:
+                            prev = None
+    print(f"harvested {len(counts)} distinct words / {len(bigrams)} distinct "
+          f"bigrams from {seen} files", file=sys.stderr)
+    return counts, bigrams
 
 
 def main():
-    harvested = harvest_counts()
+    harvested, harvested_bi = harvest_counts()
     # tail: words seen at least 5 times, scaled into the sub-head range
     tail_max = 200_000
     top = harvested.most_common()
@@ -364,10 +379,30 @@ def main():
         for w, c in sorted(table.items(), key=lambda kv: -kv[1]):
             f.write(f"{w}\t{c}\n")
 
+    # Bigram table.  The segmenter scores P(word|prev) = bigram/unigram[prev]
+    # against the FINAL unigram table, whose head counts are Zipf-synthesized
+    # — so each harvested pair's conditional probability (with +50 shrinkage
+    # so a pair seen 3 times after a word seen 4 times isn't scored as
+    # near-certain) is re-expressed against the final marginal:
+    # count_final = P_harvest(b|a) * table[a].
+    big_table = {}
+    for (a, b), c in harvested_bi.items():
+        if c < 3 or a not in table or b not in table:
+            continue
+        cond = c / (harvested[a] + 50)
+        val = int(cond * table[a])
+        if val >= 1:
+            big_table[f"{a} {b}"] = min(val, table[a])
+    # curated high-value hashtag phrases keep a strong floor
+    for line in BIGRAMS.strip().splitlines():
+        a, b = line.split()
+        key = f"{a} {b}"
+        big_table[key] = max(big_table.get(key, 0), 1_000_000)
+    print(f"bigram table {len(big_table)}", file=sys.stderr)
+
     with open(os.path.join(OUT_DIR, "bigrams_en.txt"), "w") as f:
-        for line in BIGRAMS.strip().splitlines():
-            a, b = line.split()
-            f.write(f"{a} {b}\t1000000\n")
+        for k, c in sorted(big_table.items(), key=lambda kv: -kv[1]):
+            f.write(f"{k}\t{c}\n")
 
 
 if __name__ == "__main__":

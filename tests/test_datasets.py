@@ -242,6 +242,42 @@ def test_hashtag_corpus_segmentation_goldens():
         assert pre(tag) == want, (tag, pre(tag), want)
 
 
+def test_hashtag_bigram_context_goldens():
+    """Bigram-backed segmentation (ekphrasis' twitter_2018 model consults
+    bigram statistics, vault/utils.py:196-207): cases where the CONTEXT of
+    the previous word changes the split — a unigram-only model gets these
+    wrong (verified: e.g. 'lineofsight' -> ['line', 'ofsight'] without the
+    bigram table)."""
+    from vault_tpu.text.segmenter import Segmenter
+
+    pre = twitter_preprocessor()
+    goldens = {
+        "#redcarpet": "# red-carpet",
+        "#superbowl": "# super-bowl",
+        "#lineofsight": "# line-of-sight",
+        "#outofoffice": "# out-of-office",
+        "#stateoftheart": "# state-of-the-art",
+        "#workfromhome": "# work-from-home",
+        "#happynewyear": "# happy-new-year",
+        "#newyorkcity": "# new-york-city",
+        "#pointofview": "# point-of-view",
+    }
+    for tag, want in goldens.items():
+        assert pre(tag) == want, (tag, pre(tag), want)
+
+    # the same token splits DIFFERENTLY depending on the preceding word:
+    # P(goodwill | of) from the bigram table beats the 'good will' split,
+    # while standalone frequency statistics favor the split
+    s = Segmenter()
+    assert s.segment("goodwill") == ["good", "will"]
+    assert s.segment("ofgoodwill") == ["of", "goodwill"]
+    assert s.segment("runtime") == ["run", "time"]
+    assert s.segment("atruntime") == ["at", "runtime"]
+
+    # the table is real harvested statistics, not a hand list
+    assert len(s.bigrams) > 10_000
+
+
 def test_ekphrasis_surface_normalizations():
     """elongated/repeated/emphasis/censored surface behavior
     (vault/utils.py:134-141 annotate set; tags themselves are dropped by the
