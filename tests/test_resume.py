@@ -71,3 +71,22 @@ def test_resume_matches_uninterrupted(tmp_path):
 
     for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_resumed)):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_checkpoint_roundtrips_bf16_leaves(tmp_path):
+    """npz stores ml_dtypes leaves as raw void bytes; restore must recover
+    the dtype from the target (load-bearing now that bf16 AdamW state is
+    the TrainArgs default)."""
+    import jax.numpy as jnp
+
+    from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+
+    tree = {"m": np.arange(6, dtype=np.float32).reshape(2, 3)
+            .astype(jnp.bfloat16), "c": np.int32(7)}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tree)
+    out = restore_checkpoint(path, jax.tree.map(np.asarray, tree))
+    assert out["m"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out["m"], np.float32),
+                                  np.asarray(tree["m"], np.float32))
+    assert int(out["c"]) == 7

@@ -99,6 +99,16 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         if arr.shape != np.shape(tree):
             raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "
                              f"target {np.shape(tree)}")
+        if arr.dtype.kind == "V":
+            # npz round-trips ml_dtypes (bfloat16 etc.) as raw void bytes —
+            # recover the dtype from the target leaf (same itemsize)
+            t_dtype = np.asarray(tree).dtype
+            if t_dtype.itemsize == arr.dtype.itemsize:
+                arr = arr.view(t_dtype)
+            else:
+                raise ValueError(
+                    f"unreadable dtype at {key}: ckpt {arr.dtype} vs target "
+                    f"{t_dtype} (itemsize mismatch)")
         return arr
 
     return rebuild(target)
