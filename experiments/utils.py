@@ -62,20 +62,24 @@ TRAINER_ARGS = dict(
     compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
                        type=str, help="activation/matmul dtype (fp32 master "
                        "weights either way)"),
-    opt_state_dtype=dict(default=None,
+    opt_state_dtype=dict(default="bfloat16",
                          choices=["float32", "bfloat16", "int8"],
-                         type=str, help="AdamW m/v storage dtype (bfloat16 "
-                         "cuts optimizer HBM traffic ~1.7 ms/step at full "
-                         "geometry; int8 = blockwise-quantized 8-bit-Adam "
-                         "moments, quarter state size; default fp32)"),
+                         type=str, help="AdamW m/v storage dtype (bfloat16, "
+                         "the default, cuts optimizer HBM traffic ~1.7 "
+                         "ms/step at full geometry and measured as pure "
+                         "noise on the recipe dynamics — BENCHMARKS.md; "
+                         "float32 = bit-level HF-AdamW state fidelity; int8 "
+                         "= blockwise-quantized moments, quarter state size)"),
     grad_dtype=dict(default=None, choices=["float32", "bfloat16"], type=str,
                     help="grad buffer dtype between backward and optimizer "
-                         "(bfloat16 halves that HBM traffic; lossless under "
-                         "bf16 compute)"),
-    rng_impl=dict(default=None, choices=["threefry2x32", "rbg"], type=str,
-                  help="dropout PRNG: rbg = TPU hardware generator, measured "
-                       "467 vs 441 pairs/s at full geometry; default threefry "
-                       "keeps jax's reproducible streams"),
+                         "(bfloat16 halves that HBM traffic at a small "
+                         "precision cost; measured noise-level on recipe "
+                         "dynamics)"),
+    rng_impl=dict(default="rbg", choices=["threefry2x32", "rbg"], type=str,
+                  help="dropout PRNG: rbg (default) = TPU hardware "
+                       "generator, measured 467 vs 441 pairs/s at full "
+                       "geometry; threefry2x32 keeps jax's cross-version-"
+                       "reproducible streams"),
     profile_dir=dict(default=None, type=str,
                      help="write a jax.profiler trace of the second eval "
                           "window here (first window holds the compile); "
@@ -84,6 +88,24 @@ TRAINER_ARGS = dict(
                   help="ZeRO-1: shard AdamW moments 1/N over the DP mesh "
                        "(each chip stores and updates 1/N of the state)"),
     seed=dict(default=0, type=int, help="base random seed"),
+    checkpoint_dir=dict(default=None, type=str,
+                        help="write {params, opt_state, step} checkpoints "
+                             "here at every eval window (multi-process runs "
+                             "use a coordinated orbax save)"),
+    resume=dict(action="store_true",
+                help="resume mid-schedule from checkpoint_dir's last "
+                     "checkpoint (restores params/opt_state/step)"),
+    # multi-host (DCN): launch the SAME command on every host with its own
+    # --process_id; jax.distributed joins them into one global device mesh
+    # (TPU pods auto-detect and need none of these)
+    coordinator_address=dict(default=None, type=str,
+                             help="host:port of process 0's coordination "
+                                  "service; presence triggers "
+                                  "jax.distributed initialization"),
+    num_processes=dict(default=None, type=int,
+                       help="total number of processes in the multi-host job"),
+    process_id=dict(default=None, type=int,
+                    help="this process's index in [0, num_processes)"),
 )
 
 
@@ -105,6 +127,14 @@ def apply_device_arg(args):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host: join the DCN coordination service before any backend use
+    # so jax.devices() spans all hosts and the Trainer's mesh scales out
+    # (SURVEY.md §2.8; the harness behind tests/test_multihost_trainer.py)
+    if getattr(args, "coordinator_address", None) is not None:
+        from vault_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
 
 
 def trainer_args_from_namespace(args, **overrides):
@@ -130,6 +160,7 @@ def trainer_args_from_namespace(args, **overrides):
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,
         rng_impl=args.rng_impl, disable_tqdm=args.disable_tqdm,
         profile_dir=args.profile_dir,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
     )
     kw.update(overrides)
     return TrainArgs(**kw)

@@ -405,9 +405,12 @@ def test_grad_accumulation_matches_single_step():
     ds = InMemoryDataset(feats, labels)
     results = {}
     for accum in (1, 4):
+        # fp32 moments: this test isolates the accumulation math at 3e-6;
+        # the bf16-state default would quantize the two paths' ~1e-7
+        # order-of-summation grad differences to different bf16 ulps
         args = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=1,
                          max_steps=1, grad_accum_steps=accum, seed=0,
-                         prefetch_batches=0)
+                         prefetch_batches=0, opt_state_dtype="float32")
         # dropout rngs differ between the two paths; disable via deterministic
         def det_apply(p, batch, deterministic, rng):
             return apply_fn(p, batch, True, None)

@@ -90,10 +90,19 @@ def run_training(logdir: str, *, num_data: int = 4, seed: int = 0,
 
     (cfg, params, apply_fn, train_feats, train_labels,
      dev_feats, dev_labels) = build_toy(seed)
+    # Parity-harness pins (the perf defaults are rbg + bf16 moments):
+    #   * threefry streams are a pure function of (key, element index), so
+    #     dropout masks are IDENTICAL regardless of process/device topology
+    #     (rbg bits are sharding-dependent);
+    #   * fp32 moments, because bf16 moment rounding amplifies the 1-ulp
+    #     cross-process psum reduction-order differences into ~lr-scale
+    #     param divergence over a few steps, which is real quantization
+    #     noise but defeats the bit-parity assertion this harness exists for.
     args = TrainArgs(lr=1e-3, train_batch_size=8, eval_batch_size=8,
                      num_train_epochs=2, num_data_shards=num_data, seed=seed,
                      max_steps=max_steps, checkpoint_dir=checkpoint_dir,
-                     resume=resume, disable_tqdm=True, prefetch_batches=0)
+                     resume=resume, disable_tqdm=True, prefetch_batches=0,
+                     rng_impl="threefry2x32", opt_state_dtype="float32")
     handler = ExperimentHandler(logdir, name)
     trainer = Trainer(apply_fn, params, args,
                       InMemoryDataset(train_feats, train_labels),

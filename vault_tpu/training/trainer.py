@@ -87,11 +87,15 @@ class TrainArgs:
     seed: int = 0
     # TPU-native:
     num_data_shards: Optional[int] = None     # default: all devices
-    # dropout PRNG implementation: "rbg" uses the TPU's hardware-friendly
-    # generator — measured 467 vs 441 pairs/s at full geometry (threefry
-    # bernoulli draws cost ~2 ms/step); threefry (None/default) keeps
-    # jax's cross-version-reproducible streams
-    rng_impl: Optional[str] = None
+    # dropout PRNG implementation: "rbg" (default) uses the TPU's
+    # hardware-friendly generator — measured 467 vs 441 pairs/s at full
+    # geometry (threefry bernoulli draws cost ~2 ms/step).  Reference
+    # fidelity is unaffected (torch's dropout streams differ from ANY jax
+    # impl).  Caveat: rbg bits are sharding/topology-dependent, so runs on
+    # different mesh shapes draw different (equally valid) dropout masks;
+    # pass "threefry2x32" for streams that are bit-identical across any
+    # topology and jax version
+    rng_impl: Optional[str] = "rbg"
     # impl selector (ops/attention.py parse_impl): "auto" = fused QKV +
     # fused LN->MLP kernel on TPU (measured 12% faster forward), XLA
     # elsewhere; False forces XLA everywhere
@@ -119,10 +123,13 @@ class TrainArgs:
     # micro-batches (train_batch_size must be divisible by it) — large
     # effective batches within the HBM budget
     grad_accum_steps: int = 1
-    # AdamW m/v storage dtype ("bfloat16" saves ~1.7 ms/step optimizer HBM
-    # traffic at full geometry, docs/BENCHMARKS.md; None = fp32, the
-    # accuracy-parity default)
-    opt_state_dtype: Optional[str] = None
+    # AdamW m/v storage dtype: "bfloat16" (default) saves ~1.7 ms/step of
+    # optimizer HBM traffic at full geometry and measured as pure noise on
+    # the full-recipe dynamics proxy (max loss delta <= 1e-4, metrics
+    # identical — docs/BENCHMARKS.md "accuracy cost of the throughput
+    # knobs"); pass "float32" for bit-level HF-AdamW state fidelity,
+    # "int8" for quartered state memory
+    opt_state_dtype: Optional[str] = "bfloat16"
     # grad buffer dtype between backward and optimizer ("bfloat16" halves
     # that read/write traffic; NEAR-lossless, not free — bias/embedding
     # grads and fp32-accumulated matmul outputs do lose mantissa bits in
