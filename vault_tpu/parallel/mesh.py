@@ -35,8 +35,35 @@ def init_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only the benign re-initialization case may pass — a swallowed
+        # connect/barrier failure would silently degrade a multi-host job
+        # to independent single-process runs all writing as "process 0"
+        if "already" not in str(e).lower():
+            raise
+    if num_processes is not None and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"jax.distributed joined {jax.process_count()} process(es), "
+            f"expected {num_processes} — check --coordinator_address "
+            "reachability and that every host launched with a distinct "
+            "--process_id")
+
+
+def coord_barrier(name: str, timeout_ms: int = 900_000):
+    """Align all processes via the jax.distributed coordination service.
+
+    NOT ``multihost_utils.sync_global_devices``: that runs a Gloo collective
+    whose context rendezvous has a hard ~30 s window, so it cannot absorb
+    the multi-minute compile-time skew it would typically be used around
+    (observed failing on a contended host).  The coordination-service
+    barrier takes an explicit timeout and uses only the gRPC KV service.
+    No-op in single-process runs."""
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,

@@ -99,16 +99,29 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         if arr.shape != np.shape(tree):
             raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "
                              f"target {np.shape(tree)}")
+        t_dtype = np.asarray(tree).dtype
         if arr.dtype.kind == "V":
             # npz round-trips ml_dtypes (bfloat16 etc.) as raw void bytes —
             # recover the dtype from the target leaf (same itemsize)
-            t_dtype = np.asarray(tree).dtype
             if t_dtype.itemsize == arr.dtype.itemsize:
                 arr = arr.view(t_dtype)
             else:
                 raise ValueError(
                     f"unreadable dtype at {key}: ckpt {arr.dtype} vs target "
                     f"{t_dtype} (itemsize mismatch)")
+        elif arr.dtype != t_dtype:
+            # dtype migration (e.g. a pre-flip fp32 opt_state resumed under
+            # the bf16-moments default): cast float->float explicitly so the
+            # restored state matches the running config instead of silently
+            # carrying mixed dtypes into the next checkpoint; refuse
+            # cross-kind mismatches (int vs float = wrong checkpoint)
+            if arr.dtype.kind == t_dtype.kind or (
+                    {arr.dtype.kind, t_dtype.kind} <= {"f", "V"}):
+                arr = arr.astype(t_dtype)
+            else:
+                raise ValueError(
+                    f"dtype mismatch at {key}: ckpt {arr.dtype} vs target "
+                    f"{t_dtype}")
         return arr
 
     return rebuild(target)

@@ -212,6 +212,8 @@ class Trainer:
             higher_better=args.higher_better)
         self._train_step = None
         self._eval_step = None
+        self._built_for = None
+        self._precompiled = False
         # (wall_seconds, pairs) per completed eval window — real time because
         # each window ends in the one host fetch that drains the step chain
         self.window_times: List[tuple] = []
@@ -226,6 +228,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ jit
     def _build_steps(self, steps_per_epoch: int):
+        self._built_for = steps_per_epoch
         a = self.args
         num_steps = max(1, steps_per_epoch * int(a.num_train_epochs))
         tx, self._schedule = make_optimizer(
@@ -344,6 +347,32 @@ class Trainer:
         rep = replicated(self.mesh)
         self._eval_step = jax.jit(eval_step, out_shardings=(rep, rep))
 
+    def precompile(self, batch, labels):
+        """AOT-compile the train/eval programs for this batch geometry
+        WITHOUT executing them (no collectives run during tracing/compile).
+
+        Multi-host: call this on every process, then barrier
+        (``multihost_utils.sync_global_devices``), then ``train()`` — XLA's
+        Gloo collective-context rendezvous has a hard ~30 s window, and
+        compile times on loaded hosts can skew processes past it; AOT-ing
+        first means the programs are compiled (and, with the persistent
+        compilation cache enabled, instantly reloadable) before any process
+        enters a collective.  ``train()`` reuses the already-built steps."""
+        a = self.args
+        steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
+        self._build_steps(steps_per_epoch)
+        b, l, w = self._pad(batch, labels)
+        sb = shard_batch(self.mesh, b)
+        sl = shard_batch(self.mesh, l)
+        sw = shard_batch(self.mesh, w)
+        rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
+               else jax.random.PRNGKey(a.seed))
+        self._train_step.lower(
+            self.params, self.opt_state, jnp.zeros((2,), jnp.float32),
+            sb, sl, sw, jax.random.fold_in(rng, 0)).compile()
+        self._eval_step.lower(self.params, sb, sl, sw).compile()
+        self._precompiled = True
+
     # ----------------------------------------------------------------- loop
     def train(self):
         a = self.args
@@ -351,7 +380,22 @@ class Trainer:
             self.load_weights(a.model_load_filename)
         steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
         eval_steps = a.eval_steps or steps_per_epoch
-        self._build_steps(steps_per_epoch)
+        if jax.process_count() > 1 and not self._precompiled:
+            # multi-host: AOT-compile both programs, then barrier, then
+            # execute — Gloo's collective-context rendezvous has a ~30 s
+            # window, and letting the first compile overlap the first psum
+            # fails whenever hosts compile at different speeds (see
+            # Trainer.precompile / parallel.mesh.coord_barrier)
+            from vault_tpu.parallel.mesh import coord_barrier
+
+            sample = next(iter(
+                self.train_dataset.batches(a.train_batch_size, shuffle=False)))
+            self.precompile(*sample)
+            coord_barrier("trainer_precompiled")
+        if self._precompiled and self._built_for == steps_per_epoch:
+            self._precompiled = False  # reuse the freshly built steps once
+        else:
+            self._build_steps(steps_per_epoch)
 
         rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
                else jax.random.PRNGKey(a.seed))
