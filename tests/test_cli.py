@@ -276,6 +276,59 @@ def test_toms_script_rehearsal(tmp_path):
     assert len(run_dirs) == 2  # --use_tweet_bert and plain ViLT variants
 
 
+def test_clsf_vault_multihost_cli(tmp_path):
+    """User-facing multi-host launch (README 'Multi-host (DCN)'): the SAME
+    clsf_vault.py command on two processes with --coordinator_address /
+    --num_processes / --process_id must train over one global 4-device mesh
+    and write exactly ONE experiment log (process 0 only)."""
+    import socket
+
+    root = _make_mvsa(tmp_path)
+    logs = str(tmp_path / "logs")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    cmd = [sys.executable, "experiments/clsf_vault.py", "MVSA",
+           "--root_dir", root, "--preprocessed",
+           "--train_split", "train", "--test_split", "test",
+           "--debug_tiny", "--num_train_epochs", "1",
+           "--train_batch_size", "4", "--eval_batch_size", "4",
+           "--disable_tqdm", "--experiment_root", logs,
+           "--coordinator_address", f"localhost:{port}",
+           "--num_processes", "2"]
+    outlogs = [open(tmp_path / f"cli{i}.log", "w+") for i in range(2)]
+    procs = [subprocess.Popen(cmd + ["--process_id", str(i)], cwd=REPO,
+                              env=env, stdout=outlogs[i],
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for i, (p, f) in enumerate(zip(procs, outlogs)):
+        f.seek(0)
+        out = f.read()
+        f.close()
+        assert p.returncode == 0, f"process {i}:\n{out[-3000:]}"
+    run_dirs = os.listdir(os.path.join(logs, "VaultTMSCMVSA"))
+    assert len(run_dirs) == 1  # one global run, written once (process 0)
+    with open(os.path.join(logs, "VaultTMSCMVSA", run_dirs[0],
+                           "metrics.yml")) as f:
+        metrics = yaml.safe_load(f)
+    assert metrics["experiment_0"]["train_loss"]  # the loop really ran
+
+
 def test_frozen_lms_script_rehearsal(tmp_path):
     """scripts/frozen-lms.sh Bloomberg legs (bert + bertweet frozen-LM
     ablation) end-to-end on synthetic data."""
