@@ -31,7 +31,13 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
 def save_checkpoint(path: str, tree: Any):
     flat = _flatten(jax.device_get(tree))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+    final = path if path.endswith(".npz") else path + ".npz"
+    # atomic replace: a crash mid-write must never corrupt the last good
+    # checkpoint (the resume path would fail on a truncated npz)
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, final)
 
 
 def save_checkpoint_orbax(path: str, tree: Any):

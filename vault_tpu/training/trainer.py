@@ -214,6 +214,8 @@ class Trainer:
         self._eval_step = None
         self._built_for = None
         self._precompiled = False
+        self._ckpt_pool = None
+        self._ckpt_future = None
         # (wall_seconds, pairs) per completed eval window — real time because
         # each window ends in the one host fetch that drains the step chain
         self.window_times: List[tuple] = []
@@ -489,6 +491,7 @@ class Trainer:
 
         if profiling:  # training ended mid-window (early stop / max_steps)
             jax.profiler.stop_trace()
+        self._flush_checkpoint()  # the last write is durable before we return
 
         # throughput observability (SURVEY.md §5: the pairs/sec counter the
         # reference lacks); first window excluded (contains the compile)
@@ -595,9 +598,28 @@ class Trainer:
             return
         from vault_tpu.training.checkpoint import save_checkpoint
 
-        save_checkpoint(path, {"params": jax.device_get(self.params),
-                               "opt_state": jax.device_get(self.opt_state),
-                               "step": np.asarray(step)})
+        # the device_get is the required host sync; npz serialization + disk
+        # write happen on a background thread (one slot — wait for the
+        # previous write first) so the next window's step dispatch isn't
+        # serialized behind disk I/O.  save_checkpoint writes atomically, so
+        # a crash mid-write never corrupts the last good checkpoint.
+        state = {"params": jax.device_get(self.params),
+                 "opt_state": jax.device_get(self.opt_state),
+                 "step": np.asarray(step)}
+        self._flush_checkpoint()
+        if self._ckpt_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ckpt_pool = ThreadPoolExecutor(
+                1, thread_name_prefix="vault-ckpt")
+        self._ckpt_future = self._ckpt_pool.submit(save_checkpoint, path, state)
+
+    def _flush_checkpoint(self):
+        """Wait for any in-flight background checkpoint write (re-raising
+        its error, if it failed)."""
+        if self._ckpt_future is not None:
+            self._ckpt_future.result()
+            self._ckpt_future = None
 
     def _maybe_resume(self) -> int:
         import os
