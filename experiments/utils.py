@@ -131,6 +131,20 @@ def apply_device_arg(args):
     # so jax.devices() spans all hosts and the Trainer's mesh scales out
     # (SURVEY.md §2.8; the harness behind tests/test_multihost_trainer.py)
     if getattr(args, "coordinator_address", None) is not None:
+        import os
+
+        import jax
+
+        # the Trainer's multi-host AOT-precompile + barrier scheme relies on
+        # the persistent compilation cache (the AOT result is not installed
+        # into the jit dispatch cache; the post-barrier dispatch must RELOAD
+        # it instead of recompiling, or hosts skew into Gloo's ~30 s
+        # rendezvous window again) — default a cache dir if none is set
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "vault_tpu_xla"))
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+        jax.config.update("jax_compilation_cache_dir", cache)
         from vault_tpu.parallel.mesh import init_distributed
 
         init_distributed(args.coordinator_address, args.num_processes,

@@ -119,8 +119,6 @@ def test_sigkill_crash_recovery(tmp_path):
         flat = {{k: np.asarray(v) for k, v in
                 _flatten_params(jax.device_get(final)).items()}}
         np.savez(os.path.join(sys.argv[2], mode + "_final.npz"), **flat)
-        if mode == "victim":
-            print("VICTIM_DONE_WITHOUT_KILL", flush=True)
         print("DONE", flush=True)
     """))
     env = {k: v for k, v in os.environ.items()
@@ -151,6 +149,11 @@ def test_sigkill_crash_recovery(tmp_path):
     if p.poll() is None:
         p.send_signal(signal.SIGKILL)
     p.wait()
+    # the crash must actually have happened — if the victim finished before
+    # the kill, this test silently degenerates into a plain resume test
+    assert p.returncode == -signal.SIGKILL, (
+        f"victim exited {p.returncode} before SIGKILL landed; "
+        "crash recovery was not exercised")
 
     # recovery: resume from the crashed run's last checkpoint
     r = subprocess.run([sys.executable, str(script), "resume", out], env=env,

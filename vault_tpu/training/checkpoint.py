@@ -30,13 +30,24 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
 
 def save_checkpoint(path: str, tree: Any):
     flat = _flatten(jax.device_get(tree))
+    # npz cannot represent ml_dtypes (bfloat16 etc.) — they round-trip as
+    # raw void bytes with the dtype LOST.  Store such leaves as a same-width
+    # uint view under a dtype-tagged key ("name::bfloat16") so restore can
+    # recover the true dtype and migrate values correctly in any direction.
+    out = {}
+    for k, v in flat.items():
+        if v.dtype.kind == "V":
+            width = {1: np.uint8, 2: np.uint16, 4: np.uint32}[v.dtype.itemsize]
+            out[f"{k}::{v.dtype.name}"] = v.view(width)
+        else:
+            out[k] = v
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     final = path if path.endswith(".npz") else path + ".npz"
     # atomic replace: a crash mid-write must never corrupt the last good
     # checkpoint (the resume path would fail on a truncated npz)
     tmp = final + ".tmp"
     with open(tmp, "wb") as f:
-        np.savez(f, **flat)
+        np.savez(f, **out)
     os.replace(tmp, final)
 
 
@@ -91,6 +102,7 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     if not path.endswith(".npz") and os.path.exists(path + ".npz"):
         path = path + ".npz"
     data = np.load(path)
+    tagged = {k.rsplit("::", 1)[0]: k for k in data.files if "::" in k}
 
     def rebuild(tree, prefix=""):
         if isinstance(tree, dict):
@@ -101,26 +113,39 @@ def restore_checkpoint(path: str, target: Any) -> Any:
                 return type(tree)(*vals)
             return type(tree)(vals)
         key = prefix.rstrip("/")
-        arr = data[key]
+        dtype_known = True
+        if key not in data.files and key in tagged:
+            # dtype-tagged ml_dtypes leaf: recover the true saved dtype
+            import ml_dtypes
+
+            name = tagged[key].rsplit("::", 1)[1]
+            arr = data[tagged[key]].view(np.dtype(getattr(ml_dtypes, name)))
+        else:
+            arr = data[key]
+            # untagged void bytes = legacy file that lost its true dtype
+            dtype_known = arr.dtype.kind != "V"
         if arr.shape != np.shape(tree):
             raise ValueError(f"shape mismatch at {key}: ckpt {arr.shape} vs "
                              f"target {np.shape(tree)}")
         t_dtype = np.asarray(tree).dtype
-        if arr.dtype.kind == "V":
-            # npz round-trips ml_dtypes (bfloat16 etc.) as raw void bytes —
-            # recover the dtype from the target leaf (same itemsize)
+        if not dtype_known:
+            # LEGACY untagged checkpoint (written before dtype tagging):
+            # ml_dtypes leaves degraded to raw void bytes; the only safe
+            # assumption is that the target runs the same dtype the
+            # checkpoint was written with (same itemsize view)
             if t_dtype.itemsize == arr.dtype.itemsize:
                 arr = arr.view(t_dtype)
             else:
                 raise ValueError(
                     f"unreadable dtype at {key}: ckpt {arr.dtype} vs target "
-                    f"{t_dtype} (itemsize mismatch)")
+                    f"{t_dtype} (itemsize mismatch; legacy untagged file)")
         elif arr.dtype != t_dtype:
             # dtype migration (e.g. a pre-flip fp32 opt_state resumed under
-            # the bf16-moments default): cast float->float explicitly so the
-            # restored state matches the running config instead of silently
-            # carrying mixed dtypes into the next checkpoint; refuse
-            # cross-kind mismatches (int vs float = wrong checkpoint)
+            # the bf16-moments default, or a bf16 checkpoint restored under
+            # --opt_state_dtype float32): cast float->float explicitly so
+            # the restored state matches the running config; refuse
+            # cross-kind mismatches (int vs float = wrong checkpoint).
+            # ml_dtypes floats report dtype.kind "V", hence the kind set.
             if arr.dtype.kind == t_dtype.kind or (
                     {arr.dtype.kind, t_dtype.kind} <= {"f", "V"}):
                 arr = arr.astype(t_dtype)

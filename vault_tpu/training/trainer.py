@@ -349,30 +349,71 @@ class Trainer:
         rep = replicated(self.mesh)
         self._eval_step = jax.jit(eval_step, out_shardings=(rep, rep))
 
-    def precompile(self, batch, labels):
-        """AOT-compile the train/eval programs for this batch geometry
-        WITHOUT executing them (no collectives run during tracing/compile).
-
-        Multi-host: call this on every process, then barrier
-        (``multihost_utils.sync_global_devices``), then ``train()`` — XLA's
-        Gloo collective-context rendezvous has a hard ~30 s window, and
-        compile times on loaded hosts can skew processes past it; AOT-ing
-        first means the programs are compiled (and, with the persistent
-        compilation cache enabled, instantly reloadable) before any process
-        enters a collective.  ``train()`` reuses the already-built steps."""
+    def _aot_geometry(self, batch, labels, train: bool):
+        """AOT-lower+compile one program geometry without executing it."""
         a = self.args
-        steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
-        self._build_steps(steps_per_epoch)
         b, l, w = self._pad(batch, labels)
         sb = shard_batch(self.mesh, b)
         sl = shard_batch(self.mesh, l)
         sw = shard_batch(self.mesh, w)
-        rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
-               else jax.random.PRNGKey(a.seed))
-        self._train_step.lower(
-            self.params, self.opt_state, jnp.zeros((2,), jnp.float32),
-            sb, sl, sw, jax.random.fold_in(rng, 0)).compile()
-        self._eval_step.lower(self.params, sb, sl, sw).compile()
+        if train:
+            rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
+                   else jax.random.PRNGKey(a.seed))
+            self._train_step.lower(
+                self.params, self.opt_state, jnp.zeros((2,), jnp.float32),
+                sb, sl, sw, jax.random.fold_in(rng, 0)).compile()
+        else:
+            self._eval_step.lower(self.params, sb, sl, sw).compile()
+
+    def precompile(self, batch, labels):
+        """AOT-compile the train/eval programs for this batch geometry
+        WITHOUT executing them (no collectives run during tracing/compile).
+
+        Multi-host: ``train()`` calls :meth:`_precompile_multihost` (every
+        geometry the run will dispatch) followed by a coordination-service
+        barrier automatically — XLA's Gloo collective-context rendezvous has
+        a hard ~30 s window, and compile times on loaded hosts can skew
+        processes past it; AOT-ing first means the programs are compiled
+        before any process enters a collective.  NOTE: the AOT result is not
+        installed into the jit dispatch cache, so this scheme needs the
+        persistent compilation cache (``JAX_COMPILATION_CACHE_DIR``; the CLI
+        multi-host path defaults it) for the post-barrier dispatch to reload
+        instead of recompile."""
+        a = self.args
+        self._build_steps(
+            max(1, self.train_dataset.num_batches(a.train_batch_size)))
+        self._aot_geometry(batch, labels, train=True)
+        self._aot_geometry(batch, labels, train=False)
+        self._precompiled = True
+
+    def _precompile_multihost(self, steps_per_epoch: int):
+        """AOT every geometry this run will dispatch after the barrier:
+        the full train batch AND the trailing partial batch, plus the
+        full/partial eval batches of each eval dataset — any one of them
+        compiling at dispatch time would reopen the post-barrier skew
+        window (see precompile)."""
+        a = self.args
+        self._build_steps(steps_per_epoch)
+
+        def geometries(ds, bs):
+            feats, labels = next(iter(ds.batches(bs, shuffle=False)))
+            rows = {labels.shape[0]}
+            if ds.num_examples % bs:
+                rows.add(ds.num_examples % bs)
+            return feats, labels, sorted(rows)
+
+        feats, labels, rows = geometries(self.train_dataset,
+                                         a.train_batch_size)
+        for r in rows:
+            self._aot_geometry({k: v[:r] for k, v in feats.items()},
+                               labels[:r], train=True)
+        for ds in (self.dev_dataset, self.test_dataset):
+            if ds is None:
+                continue
+            feats, labels, rows = geometries(ds, a.eval_batch_size)
+            for r in rows:
+                self._aot_geometry({k: v[:r] for k, v in feats.items()},
+                                   labels[:r], train=False)
         self._precompiled = True
 
     # ----------------------------------------------------------------- loop
@@ -383,20 +424,19 @@ class Trainer:
         steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
         eval_steps = a.eval_steps or steps_per_epoch
         if jax.process_count() > 1 and not self._precompiled:
-            # multi-host: AOT-compile both programs, then barrier, then
-            # execute — Gloo's collective-context rendezvous has a ~30 s
-            # window, and letting the first compile overlap the first psum
+            # multi-host: AOT-compile every program geometry, then barrier,
+            # then execute — Gloo's collective-context rendezvous has a
+            # ~30 s window, and letting any compile overlap a collective
             # fails whenever hosts compile at different speeds (see
-            # Trainer.precompile / parallel.mesh.coord_barrier)
+            # precompile / parallel.mesh.coord_barrier)
             from vault_tpu.parallel.mesh import coord_barrier
 
-            sample = next(iter(
-                self.train_dataset.batches(a.train_batch_size, shuffle=False)))
-            self.precompile(*sample)
+            self._precompile_multihost(steps_per_epoch)
             coord_barrier("trainer_precompiled")
         if self._precompiled and self._built_for == steps_per_epoch:
             self._precompiled = False  # reuse the freshly built steps once
         else:
+            self._precompiled = False  # stale precompile (geometry changed)
             self._build_steps(steps_per_epoch)
 
         rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
@@ -492,6 +532,9 @@ class Trainer:
         if profiling:  # training ended mid-window (early stop / max_steps)
             jax.profiler.stop_trace()
         self._flush_checkpoint()  # the last write is durable before we return
+        if self._ckpt_pool is not None:  # don't leak a thread per Trainer
+            self._ckpt_pool.shutdown()
+            self._ckpt_pool = None
 
         # throughput observability (SURVEY.md §5: the pairs/sec counter the
         # reference lacks); first window excluded (contains the compile)
