@@ -41,6 +41,13 @@ CANVAS = (384, 608)
 K_LO, K_HI = 2, 22
 TORCH_ITERS = 3
 TORCH_BATCH = 4
+# matmul FLOPs of one full forward at this geometry (2·M·N·K counting,
+# B=16, L=256, 228-patch conv — derivation in docs/BENCHMARKS.md "MFU
+# accounting") and the v5e bf16 peak; vs_baseline is environment-bound
+# (torch on this 1-CPU host), so the JSON also carries the
+# hardware-absolute number: fraction of the chip's bf16 peak sustained.
+FWD_FLOPS = 861e9
+PEAK_TFLOPS = float(os.environ.get("VAULT_BF16_PEAK_TFLOPS", "197"))
 
 
 def _pixel_mask(np_mod, batch, dtype=None):
@@ -210,6 +217,8 @@ def main():
         "vs_baseline": round(ratio, 2) if ratio else None,
         "p50_host_process_encode_ms": round(p50_ms, 2) if p50_ms else None,
         "device_ms_per_step_batch16": round(16 / tpu_pps * 1e3, 2),
+        "fwd_mfu_pct": round(
+            100 * FWD_FLOPS * (tpu_pps / BATCH) / (PEAK_TFLOPS * 1e12), 1),
     }
     if retried:
         out["retried"] = True
