@@ -73,9 +73,11 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    if os.environ.get("PERF_SWEEP_QUANT", "0") == "1":
+    quant = os.environ.get("PERF_SWEEP_QUANT", "0")
+    if quant != "0":
         from vault_tpu.ops.quantize import quantize_model_params
-        params = quantize_model_params(params)
+        params = quantize_model_params(
+            params, mode="w8a8" if quant == "w8a8" else "w8")
 
     impls = os.environ.get("PERF_SWEEP_IMPLS", "0,1").split(",")
     batches = [int(b) for b in

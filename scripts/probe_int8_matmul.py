@@ -1,0 +1,117 @@
+"""Probe: is an int8 x int8 -> int32 matmul actually ~2x bf16 on this chip?
+
+The v5e datasheet lists 394 TOPS int8 vs 197 TFLOP/s bf16.  The forward's
+matmuls-only floor is already ~87% of the bf16 peak (docs/BENCHMARKS.md
+"MFU accounting"), so the only way to push the serving forward further is
+to move the projection matmuls onto the int8 MXU path (w8a8: int8 weights
+AND dynamically-quantized int8 activations).  Whether XLA actually lowers
+``lax.dot_general(int8, int8, preferred_element_type=int32)`` onto the
+double-rate MXU path — rather than widening to 32-bit — is a toolchain
+property this script measures before any w8a8 code is built.
+
+Timing: bench.py's chained-``fori_loop`` K-slope method (tunnel RTT and
+transfers cancel).  Each int8 iteration includes the dynamic per-row
+requantization (absmax reduce + scale + round + clip) the real w8a8 path
+pays between layers, so the reported ratio is an honest end-to-end bound,
+not a bare-matmul best case.
+
+Shapes: the deployed MLP pair (rows=4096, 768<->3072), i.e. batch 16 at
+L=256 — the geometry docs/BENCHMARKS.md attributes 87%-of-peak bf16 to.
+
+Output: one JSON line {"bf16_ms": ..., "int8_ms": ..., "ratio": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+ROWS = int(os.environ.get("PROBE_ROWS", "4096"))
+H = 768
+I = 3072
+K_LO, K_HI = 4, 44
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(ROWS, H)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(H, I)) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(I, H)) * 0.02, jnp.bfloat16)
+    w1q = jnp.asarray(rng.integers(-127, 128, (H, I)), jnp.int8)
+    w2q = jnp.asarray(rng.integers(-127, 128, (I, H)), jnp.int8)
+
+    def requant(hf):
+        """fp -> per-row int8 (the dynamic activation quant of w8a8)."""
+        absmax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def chained_bf16(x, w1, w2, k):
+        def body(_, carry):
+            xc, acc = carry
+            h = jnp.matmul(xc, w1, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            y = jnp.matmul(h, w2, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+            return (x + y * jnp.bfloat16(1e-6), acc + y[0, 0])
+
+        _, acc = lax.fori_loop(0, k, body, (x, jnp.bfloat16(0.0)))
+        return acc
+
+    def chained_int8(x, w1q, w2q, k):
+        xq0, xs0 = requant(x.astype(jnp.float32))
+
+        def body(_, carry):
+            xq, xs, acc = carry
+            h = jnp.matmul(xq, w1q, preferred_element_type=jnp.int32)
+            hf = h.astype(jnp.float32) * xs          # per-row dequant
+            hq, hs = requant(hf)                     # dynamic requant
+            y = jnp.matmul(hq, w2q, preferred_element_type=jnp.int32)
+            yf = y.astype(jnp.float32) * hs
+            xq2, xs2 = requant(yf * 1e-6 + xq.astype(jnp.float32))
+            return (xq2, xs2, acc + yf[0, 0])
+
+        _, _, acc = lax.fori_loop(0, k, body, (xq0, xs0, jnp.float32(0.0)))
+        return acc
+
+    results = {}
+    for name, fn, args in (
+            ("bf16", chained_bf16, (x, w1, w2)),
+            ("int8", chained_int8, (x, w1q, w2q))):
+        run = jax.jit(fn)
+        np.asarray(run(*args, jnp.int32(1)))  # compile
+
+        def timed(k):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(*args, jnp.int32(k)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo, t_hi = timed(K_LO), timed(K_HI)
+        per_iter_ms = (t_hi - t_lo) / (K_HI - K_LO) * 1e3
+        results[f"{name}_ms"] = round(per_iter_ms, 4)
+        print(f"{name}: {per_iter_ms:.4f} ms/iter", file=sys.stderr)
+
+    results["ratio"] = round(results["bf16_ms"] / results["int8_ms"], 3)
+    # theoretical bf16 floor for the pair at 197 TF/s: 2*2*ROWS*H*I FLOPs
+    flops = 2 * 2 * ROWS * H * I
+    results["bf16_mfu_pct"] = round(
+        100 * flops / (results["bf16_ms"] * 1e-3) / 197e12, 1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

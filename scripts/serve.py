@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--int8", action="store_true",
-                    help="int8 weight-only quantized serving")
+                    help="alias for --quantize w8")
+    ap.add_argument("--quantize", default=None, choices=["w8", "w8a8"],
+                    help="int8 serving: w8 = weight-only (halved weight "
+                         "HBM, bf16 matmuls), w8a8 = also quantize "
+                         "activations per row so matmuls run on the MXU's "
+                         "double-rate int8 path (ops/quantize.py; pooler "
+                         "divergence budgets in docs/BENCHMARKS.md)")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
@@ -71,10 +77,11 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    if args.int8:
+    mode = args.quantize or ("w8" if args.int8 else None)
+    if mode:
         from vault_tpu.ops.quantize import quantize_model_params
 
-        params = quantize_model_params(params)
+        params = quantize_model_params(params, mode=mode)
 
     canvas = args.canvas if args.canvas == "auto" else tuple(
         int(v) for v in args.canvas.lower().split("x"))

@@ -69,16 +69,24 @@ def parse_attn_impl(use_pallas):
 def project_qkv(lp, y: jax.Array, num_heads: int, fuse: bool = False):
     """Q/K/V projections -> (B, heads, L, head_dim) each.  With ``fuse``,
     the three (H, H) matmuls run as one (H, 3H) matmul — fewer, fatter MXU
-    calls (numerically identical: same contractions, fp32 accumulation)."""
+    calls (numerically identical: same contractions, fp32 accumulation).
+    Quantized weights (ops/quantize.py w8 {w_q}/w8a8 {w_q8}) fuse the same
+    way: weights concat along out, per-out-channel scales concat along out
+    — for w8a8 this also quantizes the activations ONCE instead of three
+    times (the per-row scale is the same y either way)."""
     from vault_tpu.ops.nn import linear
 
-    if fuse and "w" in lp["q"]:
-        w = jnp.concatenate([lp["q"]["w"], lp["k"]["w"], lp["v"]["w"]], axis=1)
+    wk = next((k for k in ("w", "w_q", "w_q8") if k in lp["q"]), None)
+    if fuse and wk is not None:
+        fused = {wk: jnp.concatenate(
+            [lp["q"][wk], lp["k"][wk], lp["v"][wk]], axis=1)}
+        if wk != "w":
+            fused["w_scale"] = jnp.concatenate(
+                [lp["q"]["w_scale"], lp["k"]["w_scale"], lp["v"]["w_scale"]],
+                axis=-1)
         if "b" in lp["q"]:  # qkv_bias=False models carry no bias leaves
-            b = jnp.concatenate([lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
-            fused = {"w": w, "b": b}
-        else:
-            fused = {"w": w}
+            fused["b"] = jnp.concatenate(
+                [lp["q"]["b"], lp["k"]["b"], lp["v"]["b"]])
         q, k, v = jnp.split(linear(fused, y), 3, axis=-1)
     else:
         q, k, v = linear(lp["q"], y), linear(lp["k"], y), linear(lp["v"], y)

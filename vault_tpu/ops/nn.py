@@ -19,9 +19,23 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    """Dense layer. params = {"w": (in, out), "b": (out,) [optional]} or the
-    int8 weight-only form {"w_q": int8, "w_scale": (..., 1, out)} produced by
-    vault_tpu.ops.quantize (dequant fuses into the matmul's operand load)."""
+    """Dense layer. params = {"w": (in, out), "b": (out,) [optional]}, the
+    int8 weight-only form {"w_q": int8, "w_scale": (..., 1, out)}, or the
+    w8a8 form {"w_q8": int8, "w_scale"} — all produced by
+    vault_tpu.ops.quantize.  w8 dequant fuses into the matmul's operand
+    load; w8a8 additionally quantizes ``x`` per row and runs the matmul as
+    int8 x int8 -> int32 on the MXU's double-rate int8 path
+    (serving-only: the activation round/clip has zero gradient)."""
+    if "w_q8" in params:
+        from vault_tpu.ops.quantize import quantize_activation
+
+        xq, xs = quantize_activation(x)
+        y = jnp.matmul(xq, params["w_q8"], preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (xs * params["w_scale"])
+        b = params.get("b")
+        if b is not None:
+            y = y + b
+        return y.astype(x.dtype) if x.dtype == jnp.bfloat16 else y
     if "w_q" in params:
         w = (params["w_q"].astype(jnp.float32) * params["w_scale"]).astype(
             x.dtype if x.dtype == jnp.bfloat16 else jnp.float32)

@@ -211,11 +211,12 @@ _fused_mlp_m.defvjp(_fused_mlp_m_fwd, _fused_mlp_m_bwd)
 
 def fused_mlp_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                     act: str = "gelu", drop_mask=None) -> jax.Array:
-    """Drop-in for the pre-LN MLP half of a ViLT encoder layer.  Fp weights
-    and int8 weight-only quantized weights (ops/quantize.py {w_q, w_scale})
-    each have a fused kernel; anything else falls back to XLA.
-    ``drop_mask``: optional pre-scaled dropout mask on the MLP output
-    (fp-weight kernels only; quantized weights with a mask fall back)."""
+    """Drop-in for the pre-LN MLP half of a ViLT encoder layer.  Fp weights,
+    int8 weight-only ({w_q, w_scale}) and w8a8 ({w_q8, w_scale}) quantized
+    weights (ops/quantize.py) each have a fused kernel; anything else falls
+    back to XLA.  ``drop_mask``: optional pre-scaled dropout mask on the
+    MLP output (fp-weight kernels only; quantized weights with a mask fall
+    back)."""
     if "w" in p_in and "w" in p_out:
         if drop_mask is None:
             return _fused_mlp(ln_p["scale"], ln_p["bias"], p_in["w"],
@@ -228,6 +229,11 @@ def fused_mlp_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                              p_in["w_q"], p_in["w_scale"], p_in["b"],
                              p_out["w_q"], p_out["w_scale"], p_out["b"],
                              x, eps, act)
+    if "w_q8" in p_in and "w_q8" in p_out and drop_mask is None:
+        return _fused_mlp_w8a8(ln_p["scale"], ln_p["bias"],
+                               p_in["w_q8"], p_in["w_scale"], p_in["b"],
+                               p_out["w_q8"], p_out["w_scale"], p_out["b"],
+                               x, eps, act)
     return _mlp_block_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
 
 
@@ -579,6 +585,118 @@ _fused_mlp_q8.defvjp(_fused_mlp_q8_fwd, _fused_mlp_q8_bwd)
 
 
 # ---------------------------------------------------------------------------
+# w8a8 variant of the fused MLP block (int8 MXU serving path)
+# ---------------------------------------------------------------------------
+#
+# ops/quantize.py mode="w8a8" stores encoder linears as {w_q8 int8,
+# w_scale}; ops/nn.linear then quantizes activations per row and runs the
+# matmul int8 x int8 -> int32 on the MXU's double-rate int8 path
+# (scripts/probe_int8_matmul.py measured the deployed MLP matmul pair
+# 1.48x faster than bf16 INCLUDING the dynamic requant).  This kernel keeps
+# the LN/GELU/quantize elementwise passes fused on top of that: per row
+# tile, LN -> per-row absmax quant -> int8 dot -> dequant+bias+GELU ->
+# requant -> int8 dot -> dequant+bias -> +residual, with the int8 weights
+# (half the bf16 bytes) resident in VMEM and no HBM intermediate.
+# Numerics match the XLA w8a8 composition (nn.linear "w_q8" branch): the
+# int8 dots are EXACT in int32, so fused-vs-XLA differences come only from
+# the erf approximation and fp32-vs-bf16 cast points, same as the other
+# kernels.  Inference-only (the activation round has zero gradient); the
+# vjp falls back to the XLA composition like the q8 kernels.
+
+def _rowquant(y):
+    """fp32 (R, F) -> (int8, per-row fp32 scale) — the in-kernel twin of
+    ops/quantize.quantize_activation."""
+    scale = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                        1e-8) / 127.0
+    q = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _mlp_kernel_w8a8(x_ref, g_ref, bta_ref, w1q_ref, s1_ref, b1_ref,
+                     w2q_ref, s2_ref, b2_ref, out_ref, *, eps, act):
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = ((y * g_ref[0] + bta_ref[0]).astype(x.dtype)).astype(jnp.float32)
+    yq, ys = _rowquant(y)
+    h = jnp.dot(yq, w1q_ref[...], preferred_element_type=jnp.int32)
+    hf = h.astype(jnp.float32) * (ys * s1_ref[...]) + b1_ref[0]
+    hf = _kernel_act(act)(hf).astype(x.dtype).astype(jnp.float32)
+    hq, hs = _rowquant(hf)
+    o = jnp.dot(hq, w2q_ref[...], preferred_element_type=jnp.int32)
+    of = o.astype(jnp.float32) * (hs * s2_ref[...]) + b2_ref[0]
+    out_ref[...] = of.astype(out_ref.dtype) + x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "act", "interpret", "row_tile"))
+def fused_mlp_block_fwd_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                             eps: float = 1e-12, act: str = "gelu",
+                             interpret: bool | None = None,
+                             row_tile: int = ROW_TILE) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = _pick_row_tile(rows, row_tile)
+    row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    s1_2, s2_2 = s1.reshape(1, -1), s2.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel_w8a8, eps=eps, act=act),
+        grid=(rows // tile,),
+        in_specs=[row_spec, full(g2), full(bta2), full(w1q), full(s1_2),
+                  full(b1_2), full(w2q), full(s2_2), full(b2_2)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * h_dim * w1q.shape[1],
+            bytes_accessed=(2 * rows * h_dim * x.dtype.itemsize
+                            + w1q.size + w2q.size),
+            transcendentals=rows * w1q.shape[1],
+        ),
+    )(x2, g2, bta2, w1q, s1_2, b1_2, w2q, s2_2, b2_2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused_mlp_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act):
+    return fused_mlp_block_fwd_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2,
+                                    x, eps, act)
+
+
+def _fused_mlp_w8a8_fwd(gamma, beta, w1q, s1, b1, w2q, s2, b2, x, eps, act):
+    return (_fused_mlp_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                            eps, act),
+            (gamma, beta, w1q, s1, b1, w2q, s2, b2, x))
+
+
+def _fused_mlp_w8a8_bwd(eps, act, residuals, g):
+    gamma, beta, w1q, s1, b1, w2q, s2, b2, x = residuals
+
+    def f(gamma, beta, s1, b1, s2, b2, x):
+        return _mlp_block_xla({"scale": gamma, "bias": beta},
+                              {"w_q8": w1q, "w_scale": s1, "b": b1},
+                              {"w_q8": w2q, "w_scale": s2, "b": b2},
+                              x, eps, act)
+
+    _, vjp = jax.vjp(f, gamma, beta, s1, b1, s2, b2, x)
+    dgamma, dbeta, ds1, db1, ds2, db2, dx = vjp(g)
+    return dgamma, dbeta, None, ds1, db1, None, ds2, db2, dx
+
+
+_fused_mlp_w8a8.defvjp(_fused_mlp_w8a8_fwd, _fused_mlp_w8a8_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Post-LN variant (BERT-style towers): out = LN(x + dropout(MLP(x)))
 # ---------------------------------------------------------------------------
 #
@@ -826,14 +944,103 @@ _fused_mlp_postln_q8.defvjp(_fused_mlp_postln_q8_fwd,
                             _fused_mlp_postln_q8_bwd)
 
 
+# w8a8 post-LN variant — int8 MXU dots for the BERT-tower MLP blocks (see
+# the pre-LN w8a8 section above for the scheme).
+
+def _mlp_postln_kernel_w8a8(x_ref, g_ref, bta_ref, w1q_ref, s1_ref, b1_ref,
+                            w2q_ref, s2_ref, b2_ref, out_ref, *, eps, act):
+    x = x_ref[...]
+    xq, xs = _rowquant(x.astype(jnp.float32))
+    h = jnp.dot(xq, w1q_ref[...], preferred_element_type=jnp.int32)
+    hf = h.astype(jnp.float32) * (xs * s1_ref[...]) + b1_ref[0]
+    hf = _kernel_act(act)(hf).astype(x.dtype).astype(jnp.float32)
+    hq, hs = _rowquant(hf)
+    o = jnp.dot(hq, w2q_ref[...], preferred_element_type=jnp.int32)
+    mlp = o.astype(jnp.float32) * (hs * s2_ref[...]) + b2_ref[0]
+    s = x.astype(jnp.float32) + mlp
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s - mean), axis=-1, keepdims=True)
+    y = (s - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (y * g_ref[0] + bta_ref[0]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "act", "interpret", "row_tile"))
+def fused_mlp_postln_fwd_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                              eps: float = 1e-12, act: str = "gelu",
+                              interpret: bool | None = None,
+                              row_tile: int = ROW_TILE) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = _pick_row_tile(rows, row_tile)
+    row_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b1_2, b2_2 = (v.reshape(1, -1) for v in (gamma, beta, b1, b2))
+    s1_2, s2_2 = s1.reshape(1, -1), s2.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_mlp_postln_kernel_w8a8, eps=eps, act=act),
+        grid=(rows // tile,),
+        in_specs=[row_spec, full(g2), full(bta2), full(w1q), full(s1_2),
+                  full(b1_2), full(w2q), full(s2_2), full(b2_2)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, h_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * rows * h_dim * w1q.shape[1],
+            bytes_accessed=(2 * rows * h_dim * x.dtype.itemsize
+                            + w1q.size + w2q.size),
+            transcendentals=rows * w1q.shape[1],
+        ),
+    )(x2, g2, bta2, w1q, s1_2, b1_2, w2q, s2_2, b2_2)
+    return out.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused_mlp_postln_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                           eps, act):
+    return fused_mlp_postln_fwd_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2,
+                                     x, eps, act)
+
+
+def _fused_mlp_postln_w8a8_fwd(gamma, beta, w1q, s1, b1, w2q, s2, b2, x,
+                               eps, act):
+    return (_fused_mlp_postln_w8a8(gamma, beta, w1q, s1, b1, w2q, s2, b2,
+                                   x, eps, act),
+            (gamma, beta, w1q, s1, b1, w2q, s2, b2, x))
+
+
+def _fused_mlp_postln_w8a8_bwd(eps, act, residuals, g):
+    gamma, beta, w1q, s1, b1, w2q, s2, b2, x = residuals
+
+    def f(gamma, beta, s1, b1, s2, b2, x):
+        return _mlp_postln_xla({"scale": gamma, "bias": beta},
+                               {"w_q8": w1q, "w_scale": s1, "b": b1},
+                               {"w_q8": w2q, "w_scale": s2, "b": b2},
+                               x, eps, act)
+
+    _, vjp = jax.vjp(f, gamma, beta, s1, b1, s2, b2, x)
+    dgamma, dbeta, ds1, db1, ds2, db2, dx = vjp(g)
+    return dgamma, dbeta, None, ds1, db1, None, ds2, db2, dx
+
+
+_fused_mlp_postln_w8a8.defvjp(_fused_mlp_postln_w8a8_fwd,
+                              _fused_mlp_postln_w8a8_bwd)
+
+
 def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                            act: str = "gelu", drop_mask=None) -> jax.Array:
-    """Drop-in for the post-LN MLP half of a BERT encoder layer.  Fp and
-    int8 weight-only quantized ({w_q, w_scale}) weights each have a fused
-    kernel, like the pre-LN block.  ``drop_mask``: optional pre-scaled
-    dropout mask in {0, 1/keep} applied to the MLP output (BertOutput
-    dropout) inside the kernel (fp kernels only; quantized weights with a
-    mask fall back)."""
+    """Drop-in for the post-LN MLP half of a BERT encoder layer.  Fp, int8
+    weight-only ({w_q, w_scale}) and w8a8 ({w_q8, w_scale}) quantized
+    weights each have a fused kernel, like the pre-LN block.  ``drop_mask``:
+    optional pre-scaled dropout mask in {0, 1/keep} applied to the MLP
+    output (BertOutput dropout) inside the kernel (fp kernels only;
+    quantized weights with a mask fall back)."""
     if "w" in p_in and "w" in p_out:
         if drop_mask is None:
             return _fused_mlp_postln(ln_p["scale"], ln_p["bias"], p_in["w"],
@@ -847,6 +1054,12 @@ def fused_mlp_postln_block(ln_p, p_in, p_out, x, eps: float = 1e-12,
                                     p_in["w_q"], p_in["w_scale"], p_in["b"],
                                     p_out["w_q"], p_out["w_scale"],
                                     p_out["b"], x, eps, act)
+    if "w_q8" in p_in and "w_q8" in p_out and drop_mask is None:
+        return _fused_mlp_postln_w8a8(ln_p["scale"], ln_p["bias"],
+                                      p_in["w_q8"], p_in["w_scale"],
+                                      p_in["b"],
+                                      p_out["w_q8"], p_out["w_scale"],
+                                      p_out["b"], x, eps, act)
     return _mlp_postln_xla(ln_p, p_in, p_out, x, eps, act, drop_mask)
 
 
