@@ -87,8 +87,13 @@ def main():
         int(v) for v in args.canvas.lower().split("x"))
     processor = VaultProcessor(build_tokenizer(args.bert), canvas=canvas)
 
+    # w8a8 serves fastest with the in-kernel LN->QKV variant (6.58 vs the
+    # bf16 default's 7.57 ms at batch 16 — docs/BENCHMARKS.md "Int8
+    # quantization"); bf16/w8 stay on the measured-best "auto" kernels
+    impl = "fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
     fwd = jax.jit(lambda b: vault_for_classification(
-        params, cfg, b, head_dropout=0.0, deterministic=True))
+        params, cfg, b, head_dropout=0.0, deterministic=True,
+        use_pallas=impl))
 
     server = InferenceServer(processor, fwd, host=args.host, port=args.port,
                              max_batch=args.max_batch,

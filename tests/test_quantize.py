@@ -209,3 +209,29 @@ def test_project_qkv_fused_quantized_matches_unfused():
         for a, b in zip(ref, out):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-6, err_msg=mode)
+
+
+def test_fused_ln_qkv_w8a8_matches_xla():
+    """w8a8 fused LN->QKV kernel vs the XLA composition (LN then three
+    w8a8 linears): same per-row quantization of the same y, so outputs
+    match to fp-rescale tolerance."""
+    from vault_tpu.ops.nn import layer_norm, linear
+    from vault_tpu.ops.pallas_mlp import fused_ln_qkv
+
+    rng = np.random.default_rng(7)
+    h, rows = 128, 48
+    x = jnp.asarray(rng.normal(size=(2, rows // 2, h)), jnp.float32)
+    ln_p = {"scale": jnp.asarray(rng.normal(size=(h,)) * 0.1 + 1, jnp.float32),
+            "bias": jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)}
+    lp = {k: quantize_linear_params(
+        {"w": jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(h,)) * 0.02, jnp.float32)},
+        mode="w8a8") for k in ("q", "k", "v")}
+
+    y = layer_norm(ln_p, x, 1e-12)
+    ref = jnp.concatenate(
+        [linear(lp["q"], y), linear(lp["k"], y), linear(lp["v"], y)],
+        axis=-1)
+    out = fused_ln_qkv(ln_p, lp["q"], lp["k"], lp["v"], x, 1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)

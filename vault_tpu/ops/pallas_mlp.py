@@ -319,10 +319,76 @@ def _fused_ln_qkv_bwd(eps, residuals, g):
 _fused_ln_qkv.defvjp(_fused_ln_qkv_fwd, _fused_ln_qkv_bwd)
 
 
+def _ln_qkv_kernel_w8a8(x_ref, g_ref, bta_ref, wq_ref, s_ref, b_ref,
+                        out_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = ((y * g_ref[0] + bta_ref[0]).astype(x_ref.dtype)).astype(jnp.float32)
+    yq, ys = _rowquant(y)
+    o = jnp.dot(yq, wq_ref[...], preferred_element_type=jnp.int32)
+    of = o.astype(jnp.float32) * (ys * s_ref[...]) + b_ref[0]
+    out_ref[...] = of.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "row_tile"))
+def fused_ln_qkv_fwd_w8a8(gamma, beta, wqkv_q, sqkv, bqkv, x,
+                          eps: float = 1e-12, interpret: bool | None = None,
+                          row_tile: int = ROW_TILE) -> jax.Array:
+    """w8a8 LN->QKV: LN + per-row activation quant + ONE (H, 3H) int8
+    matmul in-kernel.  On the bf16 path fuselnqkv lost 0.18 ms to XLA's
+    matmul (BENCHMARKS.md "attention-side fusion"); the int8 MXU path
+    re-opens the question — the entry-LN HBM pass (0.20 ms/12 layers) and
+    the activation quantization both stay in VMEM here."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = x.shape
+    h_dim = shape[-1]
+    out_dim = wqkv_q.shape[1]
+    rows = x.size // h_dim
+    x2 = x.reshape(rows, h_dim)
+    tile = _pick_row_tile(rows, row_tile)
+    in_spec = pl.BlockSpec((tile, h_dim), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    g2, bta2, b2 = (v.reshape(1, -1) for v in (gamma, beta, bqkv))
+    s2 = sqkv.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel_w8a8, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[in_spec, full(g2), full(bta2), full(wqkv_q), full(s2),
+                  full(b2)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, out_dim), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * h_dim * out_dim,
+            bytes_accessed=(rows * (h_dim + out_dim) * x.dtype.itemsize
+                            + wqkv_q.size),
+            transcendentals=0,
+        ),
+    )(x2, g2, bta2, wqkv_q, s2, b2)
+    return out.reshape(*shape[:-1], out_dim)
+
+
 def fused_ln_qkv(ln_p, pq, pk, pv, x, eps: float = 1e-12):
     """Drop-in for LN(ln_before) + Q/K/V projections of a pre-LN layer;
-    returns the (..., 3H) concat to be split by the caller.  Quantized
-    weights fall back to the XLA path."""
+    returns the (..., 3H) concat to be split by the caller.  Fp weights and
+    w8a8 ({w_q8, w_scale}) weights run fused kernels; other quantized
+    forms fall back to the XLA path."""
+    if all("w_q8" in p for p in (pq, pk, pv)):
+        wq = jnp.concatenate([pq["w_q8"], pk["w_q8"], pv["w_q8"]], axis=1)
+        s = jnp.concatenate(
+            [p["w_scale"] for p in (pq, pk, pv)], axis=-1)
+        b = jnp.concatenate(
+            [p.get("b", jnp.zeros((p["w_q8"].shape[1],), jnp.float32))
+             for p in (pq, pk, pv)])
+        return fused_ln_qkv_fwd_w8a8(ln_p["scale"], ln_p["bias"], wq,
+                                     s.reshape(-1), b, x, eps)
     if any("w" not in p for p in (pq, pk, pv)):
         y = layer_norm(ln_p, x, eps)
         return jnp.concatenate(
