@@ -37,15 +37,22 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
-def test_export_quantized_model(tmp_path):
-    """Serving composition: int8-quantized weights exported via jax.export."""
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_export_quantized_model(tmp_path, mode):
+    """Serving composition: int8-quantized weights (weight-only and w8a8)
+    exported via jax.export — the int8 dot path must survive StableHLO
+    serialization."""
     from vault_tpu.ops.quantize import quantize_model_params
 
     cfg = VaultConfig(
         vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=4),
         text_tower=tiny_text_config(num_hidden_layers=1),
     )
-    params = quantize_model_params(init_vault(jax.random.PRNGKey(0), cfg))
+    params = quantize_model_params(init_vault(jax.random.PRNGKey(0), cfg),
+                                   mode=mode)
     rng = np.random.default_rng(0)
     batch = dict(
         input_ids=jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size, (1, 6))),

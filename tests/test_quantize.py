@@ -235,3 +235,23 @@ def test_fused_ln_qkv_w8a8_matches_xla():
     out = fused_ln_qkv(ln_p, lp["q"], lp["k"], lp["v"], x, 1e-12)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """Deployment flow: quantize once, save, restore into a quantized
+    target — int8 leaves and fp32 scales round-trip through the npz
+    checkpoint exactly (training/checkpoint.py)."""
+    from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=4),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    qparams = quantize_model_params(init_vault(jax.random.PRNGKey(0), cfg),
+                                    mode="w8a8")
+    path = str(tmp_path / "qmodel")
+    save_checkpoint(path, {"params": qparams})
+    restored = restore_checkpoint(path, {"params": qparams})["params"]
+    for a, b in zip(jax.tree.leaves(qparams), jax.tree.leaves(restored)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
