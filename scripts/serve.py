@@ -41,11 +41,30 @@ def main():
                          "activations per row so matmuls run on the MXU's "
                          "double-rate int8 path (ops/quantize.py; pooler "
                          "divergence budgets in docs/BENCHMARKS.md)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel serving over N chips: the padded "
+                         "batch is sharded over a mesh 'data' axis and the "
+                         "per-device forward runs under shard_map, so the "
+                         "fused Pallas kernels stay engaged per shard "
+                         "(multi-chip THROUGHPUT; --max_batch must divide "
+                         "by N).  Composes with --tp as an N x M mesh "
+                         "(the combined case takes the XLA path like --tp)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel serving over N chips: params are "
+                         "Megatron-sharded (parallel/sharding.py — QKV/MLP-in "
+                         "column, attn-out/MLP-out row) over a 1xN mesh and "
+                         "GSPMD emits the ICI collectives.  Composes with "
+                         "--quantize (int8 weights + scales shard the same "
+                         "way).  Uses the XLA compute path: the fused Pallas "
+                         "kernels are single-device programs")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
                          "bucket mode is NOT recommended for serving: each "
                          "new bucket jit-compiles mid-traffic")
+    ap.add_argument("--debug_tiny", action="store_true",
+                    help="tiny model geometry + 64x64 canvas (CI smoke; "
+                         "same knob as the experiment CLIs)")
     args = ap.parse_args()
 
     import numpy as np
@@ -64,24 +83,55 @@ def main():
     )
     from vault_tpu.serving import InferenceServer
 
-    cfg = VaultConfig(vilt=vilt_config_from_name(args.vilt),
-                      text_tower=text_config_from_name(args.bert))
+    if args.debug_tiny:
+        from vault_tpu.config import tiny_text_config, tiny_vilt_config
+
+        cfg = VaultConfig(
+            vilt=tiny_vilt_config(image_size=64, patch_size=16,
+                                  num_patch_tokens=16, vocab_size=30522),
+            text_tower=tiny_text_config(vocab_size=30522))
+        args.canvas = "64x64"
+    else:
+        cfg = VaultConfig(vilt=vilt_config_from_name(args.vilt),
+                          text_tower=text_config_from_name(args.bert))
     params = init_vault(jax.random.PRNGKey(0), cfg)
     params["head"] = init_classifier_head(jax.random.PRNGKey(1),
                                           cfg.vilt.hidden_size,
                                           args.n_classes)
+    mode = args.quantize or ("w8" if args.int8 else None)
+    # pre-quantized checkpoints (quantize once offline, serve many times —
+    # the int8 leaves round-trip exactly, tests/test_quantize.py): detect
+    # the stored form from the npz keys and build the matching restore
+    # target, instead of requantizing from fp at every server start
+    ckpt_mode = None
+    if args.ckpt:
+        path = args.ckpt if args.ckpt.endswith(".npz") else args.ckpt + ".npz"
+        keys = [k.rsplit("::", 1)[0] for k in np.load(path).files]
+        ckpt_mode = ("w8a8" if any(k.endswith("/w_q8") for k in keys)
+                     else "w8" if any(k.endswith("/w_q") for k in keys)
+                     else None)
+        if ckpt_mode and mode and mode != ckpt_mode:
+            ap.error(f"--quantize {mode} conflicts with the checkpoint, "
+                     f"which stores {ckpt_mode} params")
+        mode = mode or ckpt_mode
+
+    def cast_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    if mode:
+        from vault_tpu.ops.quantize import quantize_model_params
+    if ckpt_mode:
+        params = quantize_model_params(cast_bf16(params), mode=ckpt_mode)
     if args.ckpt:
         from vault_tpu.training.checkpoint import restore_checkpoint
 
         params = restore_checkpoint(args.ckpt, {"params": params})["params"]
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    mode = args.quantize or ("w8" if args.int8 else None)
-    if mode:
-        from vault_tpu.ops.quantize import quantize_model_params
-
-        params = quantize_model_params(params, mode=mode)
+    if not ckpt_mode:
+        params = cast_bf16(params)
+        if mode:
+            params = quantize_model_params(params, mode=mode)
 
     canvas = args.canvas if args.canvas == "auto" else tuple(
         int(v) for v in args.canvas.lower().split("x"))
@@ -91,9 +141,45 @@ def main():
     # bf16 default's 7.57 ms at batch 16 — docs/BENCHMARKS.md "Int8
     # quantization"); bf16/w8 stay on the measured-best "auto" kernels
     impl = "fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
-    fwd = jax.jit(lambda b: vault_for_classification(
-        params, cfg, b, head_dropout=0.0, deterministic=True,
-        use_pallas=impl))
+    if args.dp > 1 and args.max_batch % args.dp:
+        ap.error(f"--max_batch {args.max_batch} must divide by --dp {args.dp}")
+    if args.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vault_tpu.parallel.mesh import make_mesh, replicated
+        from vault_tpu.parallel.sharding import shard_params
+
+        mesh = make_mesh(num_data=args.dp, num_model=args.tp)
+        params = shard_params(mesh, params)
+        bspec = (NamedSharding(mesh, P("data")) if args.dp > 1
+                 else replicated(mesh))
+        # XLA path under TP: GSPMD partitions the (sharded-weight) matmuls
+        # and inserts the all-reduces; Pallas kernels are single-device
+        # programs and would force a gather. Equivalence to the
+        # single-device forward is tested on a CPU mesh
+        # (tests/test_tp_serving.py), exactly for the int8 modes.
+        jfwd = jax.jit(lambda p, b: vault_for_classification(
+            p, cfg, b, head_dropout=0.0, deterministic=True,
+            use_pallas=False))
+        fwd = lambda b: jfwd(params, jax.device_put(b, bspec))
+    elif args.dp > 1:
+        from vault_tpu.parallel.mesh import make_mesh
+        from vault_tpu.serving import dp_sharded_forward
+
+        mesh = make_mesh(num_data=args.dp, num_model=1)
+        fwd = dp_sharded_forward(
+            lambda p, b: vault_for_classification(
+                p, cfg, b, head_dropout=0.0, deterministic=True,
+                use_pallas=impl),
+            mesh, params)
+    else:
+        # params passed as an argument, not closed over: closed-over trees
+        # bake into the HLO as constants (docs/NOTES.md — oversized programs
+        # through the compile relay)
+        jfwd = jax.jit(lambda p, b: vault_for_classification(
+            p, cfg, b, head_dropout=0.0, deterministic=True,
+            use_pallas=impl))
+        fwd = lambda b: jfwd(params, b)
 
     server = InferenceServer(processor, fwd, host=args.host, port=args.port,
                              max_batch=args.max_batch,

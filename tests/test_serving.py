@@ -125,3 +125,85 @@ def test_http_server_predict_and_health():
         assert ei.value.code == 400
     finally:
         server.close()
+
+
+def test_serve_cli_prequantized_e2e(tmp_path):
+    """scripts/serve.py end-to-end: --debug_tiny + a PRE-QUANTIZED (w8a8)
+    checkpoint.  The CLI must detect the stored int8 form from the npz keys,
+    build the quantized restore target, warm up, and answer HTTP requests —
+    the quantize-once deployment flow."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.error
+
+    from vault_tpu.ops.quantize import quantize_model_params
+    from vault_tpu.training.checkpoint import save_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # must mirror scripts/serve.py --debug_tiny exactly (restore target)
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=64, patch_size=16,
+                              num_patch_tokens=16, vocab_size=30522),
+        text_tower=tiny_text_config(vocab_size=30522))
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    ckpt = str(tmp_path / "model")
+    save_checkpoint(ckpt, {"params": quantize_model_params(params,
+                                                           mode="w8a8")})
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--debug_tiny",
+         "--ckpt", ckpt, "--port", str(port), "--max_batch", "2",
+         "--max_wait_ms", "1"],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 420
+        health = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve.py exited {proc.returncode}:\n"
+                    f"{proc.stdout.read()[-3000:]}")
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(1.0)
+        assert health is not None and health["ok"], "server never came up"
+
+        buf = io.BytesIO()
+        Image.fromarray(_img(0)).save(buf, format="PNG")
+        payload = json.dumps({
+            "text": "a cat on the couch",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read())
+        assert len(body["output"]) == 3
+        assert all(np.isfinite(v) for v in body["output"])
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()

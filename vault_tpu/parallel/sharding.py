@@ -37,16 +37,18 @@ def _spec_for(path_keys, leaf) -> P:
             sub = n
     param = names[-1]
     ndim = getattr(leaf, "ndim", 0)
+    # int8-quantized linears (ops/quantize.py) shard like their fp originals:
+    # w_q/w_q8 follow w; the per-OUT-channel w_scale (..., 1, out) follows the
+    # out dim — sharded for column-parallel, replicated for row-parallel
+    # (where the sharded dim is the contraction dim, not out).
     if sub in COLUMN_W:
-        if param == "w":
+        if param in ("w", "w_q", "w_q8", "b", "w_scale"):
             return P(*([None] * (ndim - 1) + ["model"]))     # (..., in, OUT)
-        if param == "b":
-            return P(*([None] * (ndim - 1) + ["model"]))
     if sub in ROW_W:
-        if param == "w":
+        if param in ("w", "w_q", "w_q8"):
             # (..., IN, out): shard the contraction dim
             return P(*([None] * (ndim - 2) + ["model", None]))
-        if param == "b":
+        if param in ("b", "w_scale"):
             return P()
     return P()
 

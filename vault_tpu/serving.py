@@ -33,6 +33,44 @@ import jax
 import jax.numpy as jnp
 
 
+def dp_sharded_forward(apply_fn: Callable, mesh, params) -> Callable:
+    """Data-parallel serving forward over a mesh "data" axis.
+
+    The batch is sharded along its leading axis, params are replicated, and
+    the per-device body runs under ``shard_map`` — so single-device Pallas
+    kernels (ops/pallas_mlp.py) stay engaged per shard, which GSPMD alone
+    cannot do (it has no partitioning rules for ``pallas_call``).  This is
+    the multi-chip *throughput* lever for serving, complementing
+    tensor-parallel (--tp, latency/model-size) which must take the XLA path.
+
+    ``apply_fn(params, batch) -> logits`` must be single-device code; the
+    batch's leading dim must divide by the mesh's "data" size (the batching
+    engine always pads to ``max_batch``, so enforce divisibility there).
+    Returns ``fwd(batch_dict) -> logits``.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"))
+    try:
+        body = shard_map(apply_fn, check_vma=False, **kw)
+    except TypeError:  # kwarg renamed across jax versions
+        body = shard_map(apply_fn, check_rep=False, **kw)
+    jfwd = jax.jit(body)
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+
+    def fwd(batch):
+        return jfwd(params, jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), data), batch))
+
+    return fwd
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Image bytes (PNG/JPEG) -> (H, W, 3) uint8."""
     from PIL import Image
