@@ -6,7 +6,8 @@
 
 POST /predict {"text": "...", "image_b64": "<png/jpeg base64>"}
   -> {"output": [logit, ...]}
-GET  /healthz -> {"ok": true, "batches_run": N, "requests_served": M}
+GET  /healthz -> {"ok": true, batching + latency stats}
+GET  /metrics -> Prometheus text (request p50/p99, queue depth, counters)
 
 The device only ever sees one compiled program: requests are padded to
 --max_batch (vault_tpu/serving.py)."""

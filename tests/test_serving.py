@@ -207,3 +207,73 @@ def test_serve_cli_prequantized_e2e(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_metrics_endpoint_and_latency_stats():
+    """/metrics (Prometheus text) + latency/queue fields in /healthz."""
+    cfg, params, proc, fwd = _setup()
+    server = InferenceServer(proc, fwd, port=0, max_batch=MAX_BATCH,
+                             max_wait_ms=1.0).start()
+    try:
+        server.engine.predict(_img(1), "a dog")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["requests_served"] >= 1
+        assert health["queue_depth"] == 0
+        assert health["request_latency_ms_p50"] > 0
+        assert health["batch_ms_p50"] > 0
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/metrics", timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE vault_requests_served counter" in text
+        assert "vault_request_latency_ms_p50" in text
+        served = [l for l in text.splitlines()
+                  if l.startswith("vault_requests_served ")]
+        assert served and float(served[0].split()[1]) >= 1
+    finally:
+        server.close()
+
+
+def test_quantize_ckpt_cli(tmp_path):
+    """scripts/quantize_ckpt.py: fp checkpoint -> int8 npz that serve.py's
+    key-detection recognizes, values matching an in-process quantization."""
+    import os
+    import subprocess
+    import sys
+
+    from vault_tpu.ops.quantize import quantize_model_params
+    from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # must mirror the CLI's --debug_tiny geometry (restore target)
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=64, patch_size=16,
+                              num_patch_tokens=16, vocab_size=30522),
+        text_tower=tiny_text_config(vocab_size=30522))
+    params = init_vault(jax.random.PRNGKey(0), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                          cfg.vilt.hidden_size, 3)
+    fp_ckpt = str(tmp_path / "model")
+    save_checkpoint(fp_ckpt, {"params": params})
+
+    out = str(tmp_path / "model_w8a8.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "scripts/quantize_ckpt.py", "--debug_tiny",
+         "--ckpt", fp_ckpt, "--out", out, "--mode", "w8a8"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-3000:]
+
+    keys = [k.rsplit("::", 1)[0] for k in np.load(out).files]
+    assert any(k.endswith("/w_q8") for k in keys)
+    # values match the in-process quantize-then-save of the same weights
+    bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    want = quantize_model_params(bf16, mode="w8a8")
+    got = restore_checkpoint(out, {"params": want})["params"]
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -109,16 +109,43 @@ class BatchingEngine:
         self._worker.start()
         self.batches_run = 0          # observability: device calls issued
         self.requests_served = 0
+        # sliding windows of recent request latencies / per-batch device+host
+        # times (ms); deque append/iteration are GIL-atomic, no lock needed
+        from collections import deque
+
+        self._req_lat_ms = deque(maxlen=1024)
+        self._batch_ms = deque(maxlen=1024)
+
+    def stats(self) -> dict:
+        """Liveness + latency snapshot for /healthz and /metrics."""
+        def pct(window, q):
+            xs = sorted(window)
+            if not xs:
+                return None
+            return round(xs[min(len(xs) - 1, int(q * len(xs)))], 2)
+
+        return {
+            "batches_run": self.batches_run,
+            "requests_served": self.requests_served,
+            "queue_depth": self._q.qsize(),
+            "request_latency_ms_p50": pct(self._req_lat_ms, 0.50),
+            "request_latency_ms_p99": pct(self._req_lat_ms, 0.99),
+            "batch_ms_p50": pct(self._batch_ms, 0.50),
+        }
 
     # ------------------------------------------------------------- client
     def predict(self, image: np.ndarray, text: str,
                 timeout: float = 30.0) -> np.ndarray:
+        import time
+
+        t0 = time.perf_counter()
         item = _Pending(image=image, text=text)
         self._q.put(item)
         if not item.event.wait(timeout):
             raise TimeoutError("predict timed out")
         if item.error is not None:
             raise RuntimeError(item.error)
+        self._req_lat_ms.append((time.perf_counter() - t0) * 1e3)
         return item.result
 
     def close(self):
@@ -152,6 +179,9 @@ class BatchingEngine:
             if not items:
                 continue
             try:
+                import time
+
+                t0 = time.perf_counter()
                 enc = self.processor([it.image for it in items],
                                      [it.text for it in items])
                 n = len(items)
@@ -161,6 +191,7 @@ class BatchingEngine:
                     for k, v in enc.items()}
                 out = np.asarray(self.apply(
                     {k: jnp.asarray(v) for k, v in feats.items()}))
+                self._batch_ms.append((time.perf_counter() - t0) * 1e3)
                 self.batches_run += 1
                 self.requests_served += n
                 for i, it in enumerate(items):
@@ -187,9 +218,26 @@ def make_handler(engine: BatchingEngine):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"ok": True,
-                                 "batches_run": engine.batches_run,
-                                 "requests_served": engine.requests_served})
+                self._send(200, {"ok": True, **engine.stats()})
+            elif self.path == "/metrics":
+                # Prometheus text exposition: counters + gauges a scraper
+                # can alert on (queue depth growing = the chip can't keep up)
+                stats = engine.stats()
+                lines = []
+                for k, v in stats.items():
+                    kind = ("counter" if k in ("batches_run",
+                                               "requests_served") else "gauge")
+                    if v is None:
+                        continue
+                    lines.append(f"# TYPE vault_{k} {kind}")
+                    lines.append(f"vault_{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -219,7 +267,8 @@ def make_handler(engine: BatchingEngine):
 
 class InferenceServer:
     """HTTP wrapper: POST /predict {"text", "image_b64"} -> {"output"};
-    GET /healthz -> liveness + batching counters."""
+    GET /healthz -> liveness + batching/latency stats;
+    GET /metrics -> the same stats in Prometheus text format."""
 
     def __init__(self, processor, apply: Callable, host: str = "127.0.0.1",
                  port: int = 0, max_batch: int = 8, max_wait_ms: float = 5.0):
