@@ -73,7 +73,11 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    quant = os.environ.get("PERF_SWEEP_QUANT", "0")
+    quant = os.environ.get("PERF_SWEEP_QUANT", "0").strip().lower()
+    if quant not in ("0", "1", "w8", "w8a8"):
+        # a typo must not silently measure the wrong mode and end up in
+        # BENCHMARKS.md mislabeled
+        raise SystemExit(f"PERF_SWEEP_QUANT={quant!r}: use 0, 1/w8, or w8a8")
     if quant != "0":
         from vault_tpu.ops.quantize import quantize_model_params
         params = quantize_model_params(

@@ -28,6 +28,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
@@ -50,12 +52,9 @@ def main():
     w1q = jnp.asarray(rng.integers(-127, 128, (H, I)), jnp.int8)
     w2q = jnp.asarray(rng.integers(-127, 128, (I, H)), jnp.int8)
 
-    def requant(hf):
-        """fp -> per-row int8 (the dynamic activation quant of w8a8)."""
-        absmax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
-        scale = jnp.maximum(absmax, 1e-8) / 127.0
-        q = jnp.clip(jnp.round(hf / scale), -127, 127).astype(jnp.int8)
-        return q, scale
+    # fp -> per-row int8: the SAME dynamic activation quant the deployed
+    # w8a8 path uses (one definition; see ops/quantize.py)
+    from vault_tpu.ops.quantize import quantize_activation as requant
 
     def chained_bf16(x, w1, w2, k):
         def body(_, carry):

@@ -48,12 +48,9 @@ def main():
     from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
 
     if args.debug_tiny:
-        from vault_tpu.config import tiny_text_config, tiny_vilt_config
+        from vault_tpu.config import debug_tiny_vault_config
 
-        cfg = VaultConfig(
-            vilt=tiny_vilt_config(image_size=64, patch_size=16,
-                                  num_patch_tokens=16, vocab_size=30522),
-            text_tower=tiny_text_config(vocab_size=30522))
+        cfg = debug_tiny_vault_config()
     else:
         cfg = VaultConfig(vilt=vilt_config_from_name(args.vilt),
                           text_tower=text_config_from_name(args.bert))

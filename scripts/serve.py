@@ -85,12 +85,9 @@ def main():
     from vault_tpu.serving import InferenceServer
 
     if args.debug_tiny:
-        from vault_tpu.config import tiny_text_config, tiny_vilt_config
+        from vault_tpu.config import debug_tiny_vault_config
 
-        cfg = VaultConfig(
-            vilt=tiny_vilt_config(image_size=64, patch_size=16,
-                                  num_patch_tokens=16, vocab_size=30522),
-            text_tower=tiny_text_config(vocab_size=30522))
+        cfg = debug_tiny_vault_config()
         args.canvas = "64x64"
     else:
         cfg = VaultConfig(vilt=vilt_config_from_name(args.vilt),
@@ -99,6 +96,9 @@ def main():
     params["head"] = init_classifier_head(jax.random.PRNGKey(1),
                                           cfg.vilt.hidden_size,
                                           args.n_classes)
+    if args.int8 and args.quantize and args.quantize != "w8":
+        ap.error(f"--int8 (alias for --quantize w8) conflicts with "
+                 f"--quantize {args.quantize}")
     mode = args.quantize or ("w8" if args.int8 else None)
     # pre-quantized checkpoints (quantize once offline, serve many times —
     # the int8 leaves round-trip exactly, tests/test_quantize.py): detect
@@ -107,7 +107,8 @@ def main():
     ckpt_mode = None
     if args.ckpt:
         path = args.ckpt if args.ckpt.endswith(".npz") else args.ckpt + ".npz"
-        keys = [k.rsplit("::", 1)[0] for k in np.load(path).files]
+        with np.load(path) as z:
+            keys = [k.rsplit("::", 1)[0] for k in z.files]
         ckpt_mode = ("w8a8" if any(k.endswith("/w_q8") for k in keys)
                      else "w8" if any(k.endswith("/w_q") for k in keys)
                      else None)
@@ -140,8 +141,11 @@ def main():
 
     # w8a8 serves fastest with the in-kernel LN->QKV variant (6.58 vs the
     # bf16 default's 7.57 ms at batch 16 — docs/BENCHMARKS.md "Int8
-    # quantization"); bf16/w8 stay on the measured-best "auto" kernels
-    impl = "fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
+    # quantization"); "fuseqkv" additionally engages the BERT tower's fused
+    # w8a8 QKV (one activation quantization + one (H, 3H) int8 matmul per
+    # layer instead of three — fuselnqkv only covers the pre-LN co-encoder).
+    # bf16/w8 stay on the measured-best "auto" kernels
+    impl = "fuseqkv+fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
     if args.dp > 1 and args.max_batch % args.dp:
         ap.error(f"--max_batch {args.max_batch} must divide by --dp {args.dp}")
     if args.tp > 1:

@@ -144,11 +144,10 @@ def test_serve_cli_prequantized_e2e(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    # must mirror scripts/serve.py --debug_tiny exactly (restore target)
-    cfg = VaultConfig(
-        vilt=tiny_vilt_config(image_size=64, patch_size=16,
-                              num_patch_tokens=16, vocab_size=30522),
-        text_tower=tiny_text_config(vocab_size=30522))
+    # the one shared --debug_tiny geometry (restore target must match)
+    from vault_tpu.config import debug_tiny_vault_config
+
+    cfg = debug_tiny_vault_config()
     params = init_vault(jax.random.PRNGKey(0), cfg)
     params["head"] = init_classifier_head(jax.random.PRNGKey(1),
                                           cfg.vilt.hidden_size, 3)
@@ -247,11 +246,10 @@ def test_quantize_ckpt_cli(tmp_path):
     from vault_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # must mirror the CLI's --debug_tiny geometry (restore target)
-    cfg = VaultConfig(
-        vilt=tiny_vilt_config(image_size=64, patch_size=16,
-                              num_patch_tokens=16, vocab_size=30522),
-        text_tower=tiny_text_config(vocab_size=30522))
+    # the one shared --debug_tiny geometry (restore target must match)
+    from vault_tpu.config import debug_tiny_vault_config
+
+    cfg = debug_tiny_vault_config()
     params = init_vault(jax.random.PRNGKey(0), cfg)
     params["head"] = init_classifier_head(jax.random.PRNGKey(1),
                                           cfg.vilt.hidden_size, 3)

@@ -100,10 +100,17 @@ def test_tp_serving_forward_matches_single_device(mode):
                                atol=2e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("mode", [None, "w8a8"])
-def test_dp_serving_forward_matches_single_device(mode):
+@pytest.mark.parametrize("mode,impl", [
+    (None, False),
+    # the REAL scripts/serve.py --dp compositions: fused Pallas kernels
+    # (interpret mode off-TPU) running inside shard_map
+    (None, "fuseqkv+fusemlp"),
+    ("w8a8", "fuseqkv+fuselnqkv+fusemlp"),
+])
+def test_dp_serving_forward_matches_single_device(mode, impl):
     """scripts/serve.py --dp: batch sharded over 'data' under shard_map
-    (keeping per-device Pallas kernels available) == single-device forward."""
+    (keeping per-device Pallas kernels engaged) == single-device forward
+    under the SAME impl — the only difference is the sharding."""
     from vault_tpu.serving import dp_sharded_forward
 
     cfg = _tiny_cfg()
@@ -113,13 +120,13 @@ def test_dp_serving_forward_matches_single_device(mode):
     batch = _batch(cfg, n=8)
 
     ref = vault_for_classification(params, cfg, batch, head_dropout=0.0,
-                                   deterministic=True, use_pallas=False)
+                                   deterministic=True, use_pallas=impl)
 
     mesh = make_mesh(num_data=4, num_model=1)
     fwd = dp_sharded_forward(
         lambda p, b: vault_for_classification(p, cfg, b, head_dropout=0.0,
                                               deterministic=True,
-                                              use_pallas=False),
+                                              use_pallas=impl),
         mesh, params)
     out = fwd(batch)
     # per-shard math is the same program on disjoint rows — differences are

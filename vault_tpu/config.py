@@ -180,3 +180,14 @@ def tiny_vilt_config(**kw) -> ViltConfig:
     )
     base.update(kw)
     return ViltConfig(**base)
+
+
+def debug_tiny_vault_config() -> "VaultConfig":
+    """The --debug_tiny geometry shared by scripts/serve.py,
+    scripts/quantize_ckpt.py and their tests: checkpoints produced under
+    this config must restore under it anywhere, so there is exactly ONE
+    definition (real tokenizer vocab, 64x64 canvas)."""
+    return VaultConfig(
+        vilt=tiny_vilt_config(image_size=64, patch_size=16,
+                              num_patch_tokens=16, vocab_size=30522),
+        text_tower=tiny_text_config(vocab_size=30522))

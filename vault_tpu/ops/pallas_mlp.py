@@ -670,12 +670,14 @@ _fused_mlp_q8.defvjp(_fused_mlp_q8_fwd, _fused_mlp_q8_bwd)
 # vjp falls back to the XLA composition like the q8 kernels.
 
 def _rowquant(y):
-    """fp32 (R, F) -> (int8, per-row fp32 scale) — the in-kernel twin of
-    ops/quantize.quantize_activation."""
-    scale = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
-                        1e-8) / 127.0
-    q = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    """fp32 (R, F) -> (int8, per-row fp32 scale), in-kernel.  Delegates to
+    ops/quantize.quantize_activation (pure jnp, so it traces inside a Pallas
+    kernel body) — ONE definition of the quantization rule keeps the fused
+    kernels bit-identical to the XLA w8a8 path (nn.linear) and the TP
+    exactness argument (tests/test_tp_serving.py) valid."""
+    from vault_tpu.ops.quantize import quantize_activation
+
+    return quantize_activation(y)
 
 
 def _mlp_kernel_w8a8(x_ref, g_ref, bta_ref, w1q_ref, s1_ref, b1_ref,
