@@ -139,13 +139,13 @@ def main():
         int(v) for v in args.canvas.lower().split("x"))
     processor = VaultProcessor(build_tokenizer(args.bert), canvas=canvas)
 
-    # w8a8 serves fastest with the in-kernel LN->QKV variant (6.58 vs the
-    # bf16 default's 7.57 ms at batch 16 — docs/BENCHMARKS.md "Int8
-    # quantization"); "fuseqkv" additionally engages the BERT tower's fused
-    # w8a8 QKV (one activation quantization + one (H, 3H) int8 matmul per
-    # layer instead of three — fuselnqkv only covers the pre-LN co-encoder).
-    # bf16/w8 stay on the measured-best "auto" kernels
-    impl = "fuseqkv+fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
+    # w8a8 serves fastest with the in-kernel LN->QKV variant (6.47-6.58 vs
+    # the bf16 default's 7.57 ms at batch 16 — docs/BENCHMARKS.md "Int8
+    # quantization").  Adding "fuseqkv" (BERT-tower fused w8a8 QKV) was
+    # measured SLOWER (7.23 ms): the per-step in-graph concat of the int8
+    # q/k/v weights costs more HBM traffic than the two saved activation
+    # quantizations.  bf16/w8 stay on the measured-best "auto" kernels
+    impl = "fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
     if args.dp > 1 and args.max_batch % args.dp:
         ap.error(f"--max_batch {args.max_batch} must divide by --dp {args.dp}")
     if args.tp > 1:

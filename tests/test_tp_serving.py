@@ -105,7 +105,7 @@ def test_tp_serving_forward_matches_single_device(mode):
     # the REAL scripts/serve.py --dp compositions: fused Pallas kernels
     # (interpret mode off-TPU) running inside shard_map
     (None, "fuseqkv+fusemlp"),
-    ("w8a8", "fuseqkv+fuselnqkv+fusemlp"),
+    ("w8a8", "fuselnqkv+fusemlp"),
 ])
 def test_dp_serving_forward_matches_single_device(mode, impl):
     """scripts/serve.py --dp: batch sharded over 'data' under shard_map
