@@ -58,6 +58,13 @@ def main():
                          "--quantize (int8 weights + scales shard the same "
                          "way).  Uses the XLA compute path: the fused Pallas "
                          "kernels are single-device programs")
+    ap.add_argument("--pp", action="store_true",
+                    help="2-stage pipelined serving (the reference's "
+                         "PipelineVaultMixin): LM tower on device 0, "
+                         "ViLT+head on device 1, micro-batches overlapped "
+                         "(parallel/pipeline.py).  For when the text tower "
+                         "alone outgrows one chip's HBM; prefer --tp/--dp "
+                         "otherwise.  Mutually exclusive with --tp/--dp")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
@@ -148,7 +155,19 @@ def main():
     impl = "fuselnqkv+fusemlp" if mode == "w8a8" else "auto"
     if args.dp > 1 and args.max_batch % args.dp:
         ap.error(f"--max_batch {args.max_batch} must divide by --dp {args.dp}")
-    if args.tp > 1:
+    if args.pp and (args.tp > 1 or args.dp > 1):
+        ap.error("--pp is mutually exclusive with --tp/--dp")
+    if args.pp:
+        from vault_tpu.models.vault import classifier_head_apply
+        from vault_tpu.parallel.pipeline import PipelineVault
+
+        pipe = PipelineVault(params, cfg,
+                             inner_batch_size=max(1, args.max_batch // 2))
+        head = jax.device_put(params["head"], pipe.vilt_device)
+        headf = jax.jit(lambda h, pooled: classifier_head_apply(
+            h, pooled, dropout_prob=0.0, deterministic=True))
+        fwd = lambda b: headf(head, pipe(**b).pooler_output)
+    elif args.tp > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from vault_tpu.parallel.mesh import make_mesh, replicated

@@ -160,3 +160,26 @@ def test_tp_serving_through_batching_engine():
         assert out.shape == (3,) and np.isfinite(np.asarray(out)).all()
     finally:
         engine.close()
+
+
+def test_pp_serving_forward_matches_single_device():
+    """scripts/serve.py --pp: the 2-stage pipelined forward + head (the
+    reference PipelineVaultMixin serving shape) == single-device forward."""
+    from vault_tpu.models.vault import classifier_head_apply
+    from vault_tpu.parallel.pipeline import PipelineVault
+
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    batch = _batch(cfg, n=4)
+
+    ref = vault_for_classification(params, cfg, batch, head_dropout=0.0,
+                                   deterministic=True, use_pallas=False)
+
+    devs = jax.devices()[:2]
+    pipe = PipelineVault(params, cfg, lm_device=devs[0], vilt_device=devs[1],
+                         inner_batch_size=2)
+    head = jax.device_put(params["head"], pipe.vilt_device)
+    out = classifier_head_apply(head, pipe(**batch).pooler_output,
+                                dropout_prob=0.0, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

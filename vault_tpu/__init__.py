@@ -37,6 +37,9 @@ def __getattr__(name):
         "TrainArgs": ("vault_tpu.training.trainer", "TrainArgs"),
         "ExperimentHandler": ("vault_tpu.training.experiment",
                               "ExperimentHandler"),
+        "InferenceServer": ("vault_tpu.serving", "InferenceServer"),
+        "quantize_model_params": ("vault_tpu.ops.quantize",
+                                  "quantize_model_params"),
         "vault_base": ("vault_tpu.presets", "vault_base"),
         "load_vault_backbone": ("vault_tpu.models.pretrained",
                                 "load_vault_backbone"),
