@@ -726,3 +726,80 @@ def test_grad_accum_partial_final_batch(tmp_path):
     handler = ExperimentHandler(str(tmp_path), "AccumPartial")
     Trainer(apply_fn, params, targs, ds, exp_handler=handler).train()
     assert handler._series["train_loss"]
+
+
+def test_no_early_stopping_keeps_final_params(tmp_path):
+    """patience=None must NOT snapshot/restore best weights: a run that
+    ends off an eval-window boundary returns the LIVE final params (the
+    old per-window snapshot silently rolled the model back to the last
+    window and cost a full-tree device_get each window)."""
+    from vault_tpu.training.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=None)
+    assert not es.step(None, params={"w": jnp.ones(2)})
+    assert not es.step(0.1, params={"w": jnp.ones(2)})
+    assert es.best_params is None
+
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=32)
+    finals = {}
+    for max_steps in (2, 3):  # 3 ends one step PAST the eval_steps=2 window
+        p = jax.device_get(params)
+        args = TrainArgs(lr=5e-3, train_batch_size=16, num_train_epochs=2,
+                         eval_steps=2, max_steps=max_steps,
+                         early_stopping_patience=None, seed=0)
+        tr = Trainer(apply_fn, jax.tree.map(jnp.asarray, p), args,
+                     InMemoryDataset(feats, labels),
+                     dev_dataset=InMemoryDataset(feats, labels),
+                     exp_handler=ExperimentHandler(str(tmp_path),
+                                                   f"m{max_steps}"))
+        finals[max_steps] = jax.device_get(tr.train())
+    diffs = [np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()
+             for a, b in zip(jax.tree.leaves(finals[2]),
+                             jax.tree.leaves(finals[3]))
+             if np.asarray(a).dtype.kind in "fV"]
+    assert max(diffs) > 0, "step 3's update was discarded by a stale restore"
+
+
+def test_resume_with_changed_eval_cadence(tmp_path):
+    """Resuming from a checkpoint written under a different eval_steps (so
+    start_step is off the new window grid) must open a fresh loss window,
+    not crash the jitted step with a None accumulator."""
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=32)
+    ck = str(tmp_path / "ck")
+    args = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=1,
+                     eval_steps=1, checkpoint_dir=ck, seed=0)
+    tr = Trainer(apply_fn, params, args, InMemoryDataset(feats, labels),
+                 exp_handler=ExperimentHandler(str(tmp_path), "a"))
+    tr.train()  # 2 steps; checkpoints at each window boundary
+
+    p2 = init_vault(jax.random.PRNGKey(0), cfg)
+    p2["head"] = init_classifier_head(jax.random.PRNGKey(1),
+                                      cfg.vilt.hidden_size, 3)
+    args2 = TrainArgs(lr=1e-3, train_batch_size=16, num_train_epochs=2,
+                      eval_steps=3, checkpoint_dir=ck, resume=True, seed=0)
+    tr2 = Trainer(apply_fn, p2, args2, InMemoryDataset(feats, labels),
+                  exp_handler=ExperimentHandler(str(tmp_path), "b"))
+    final = tr2.train()  # start_step=2, 2 % 3 != 0 — must not crash
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree.leaves(jax.device_get(final)))
+
+
+def test_eval_loss_mass_weighting():
+    """eval_loss must weight each batch's loss by its VALID mass (padding +
+    label_weights-zeroed rows excluded): appending invalid rows to a
+    dataset must not change its eval_loss."""
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=16)
+    args = TrainArgs(lr=1e-3, train_batch_size=8, eval_batch_size=8, seed=0)
+
+    tr = Trainer(apply_fn, params, args, InMemoryDataset(feats, labels),
+                 exp_handler=ExperimentHandler("/tmp/evmass", "a"))
+    loss_a = tr.evaluate(InMemoryDataset(feats, labels))["eval_loss"]
+
+    # interleave an invalid (weight-0, wrong-label) row after each valid one
+    idx = np.repeat(np.arange(16), 2)
+    feats_b = {k: v[idx] for k, v in feats.items()}
+    labels_b = labels[idx]
+    labels_b[1::2] = (labels_b[1::2] + 1) % 3  # corrupt the invalid rows
+    feats_b["label_weights"] = np.tile([1.0, 0.0], 16).astype(np.float32)
+    loss_b = tr.evaluate(InMemoryDataset(feats_b, labels_b))["eval_loss"]
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)

@@ -115,15 +115,9 @@ def run_training(logdir: str, *, num_data: int = 4, seed: int = 0,
     return dict(handler._series), jax.device_get(final)
 
 
-def _flatten_params(tree, prefix=""):
-    out = {}
-    for k in sorted(tree):
-        v = tree[k]
-        if isinstance(v, dict):
-            out.update(_flatten_params(v, f"{prefix}{k}/"))
-        else:
-            out[f"{prefix}{k}"] = v
-    return out
+# one pytree flattener for the whole package (slash-joined paths; also
+# handles list/tuple nodes) — a second copy here would silently diverge
+from vault_tpu.training.checkpoint import _flatten as _flatten_params
 
 
 def worker_main(argv=None):
@@ -144,7 +138,13 @@ def worker_main(argv=None):
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local}"
+    # append to (not replace) caller-provided XLA flags — e.g. someone
+    # chasing the bit-parity assertions with deterministic-reduction flags
+    # must not have them silently dropped in the workers
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={local}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -231,9 +231,18 @@ def spawn_workers(outdir: str, *, num_processes: int = 2,
          "--local-devices", str(local_devices)],
         env=env, stdout=logs[i], stderr=subprocess.STDOUT, text=True)
         for i in range(num_processes)]
+    timed_out = False
     try:
         for p in procs:
-            p.wait(timeout=timeout)
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # keep going to the log collection below — a bare
+                # TimeoutExpired would violate the "raises with the worker
+                # log" contract exactly when it matters most (a deadlocked
+                # collective)
+                timed_out = True
+                break
     finally:
         for p in procs:  # never leak live workers holding the port
             if p.poll() is None:
@@ -244,6 +253,11 @@ def spawn_workers(outdir: str, *, num_processes: int = 2,
         f.seek(0)
         outs.append(f.read())
         f.close()
+    if timed_out:
+        raise RuntimeError(
+            f"multihost workers timed out after {timeout}s (deadlocked "
+            "collective?); worker logs:\n" +
+            "\n---\n".join(o[-2000:] for o in outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 or f"RESULT {i} ok" not in out:
             raise RuntimeError(f"multihost worker {i} failed:\n{out[-4000:]}")

@@ -166,8 +166,13 @@ class EarlyStopping:
 
     def step(self, metric: Optional[float], params=None, **metrics) -> bool:
         if metric is None or self.patience is None:
-            if params is not None and self.keep_weights:
-                self.best_params = jax.device_get(params)
+            # early stopping disabled (or no metric to stop on): never
+            # snapshot — training must end on the LIVE final params.  A
+            # snapshot here would be silently restored at train end,
+            # rolling the model back to the last eval window whenever the
+            # run ends off a window boundary (max_steps / epoch length not
+            # a multiple of eval_steps), and it costs a full-tree
+            # device_get per window through the TPU tunnel for nothing.
             return False
         if self.new_best(metric):
             self.best = metric
@@ -423,20 +428,23 @@ class Trainer:
             self.load_weights(a.model_load_filename)
         steps_per_epoch = max(1, self.train_dataset.num_batches(a.train_batch_size))
         eval_steps = a.eval_steps or steps_per_epoch
-        if jax.process_count() > 1 and not self._precompiled:
+        if jax.process_count() > 1:
             # multi-host: AOT-compile every program geometry, then barrier,
             # then execute — Gloo's collective-context rendezvous has a
             # ~30 s window, and letting any compile overlap a collective
             # fails whenever hosts compile at different speeds (see
-            # precompile / parallel.mesh.coord_barrier)
+            # precompile / parallel.mesh.coord_barrier).  Runs even after a
+            # public precompile() call: that covers ONE geometry, and a
+            # trailing partial batch compiling at dispatch time mid-run
+            # would reopen the skew window (re-AOT of already-compiled
+            # geometries is cheap via the persistent compile cache).
             from vault_tpu.parallel.mesh import coord_barrier
 
             self._precompile_multihost(steps_per_epoch)
             coord_barrier("trainer_precompiled")
-        if self._precompiled and self._built_for == steps_per_epoch:
-            self._precompiled = False  # reuse the freshly built steps once
-        else:
-            self._precompiled = False  # stale precompile (geometry changed)
+        reuse = self._precompiled and self._built_for == steps_per_epoch
+        self._precompiled = False  # a precompile is good for one train()
+        if not reuse:
             self._build_steps(steps_per_epoch)
 
         rng = (jax.random.key(a.seed, impl=a.rng_impl) if a.rng_impl
@@ -475,7 +483,12 @@ class Trainer:
                     logger.info("Forcibly stopping training")
                     early_stop = True
                     break
-                if step % eval_steps == 0:
+                # `window_acc is None`: first executed step after a resume
+                # whose start_step is off the current eval-window grid (the
+                # eval cadence or batch geometry changed between runs) —
+                # open a fresh (shorter) window instead of crashing the
+                # jitted step with a None accumulator
+                if window_acc is None or step % eval_steps == 0:
                     window_acc, window_n = jnp.zeros((2,), jnp.float32), 0
                     window_t0 = time.perf_counter()
                     if a.profile_dir and not profiling and not profiled \
@@ -572,7 +585,7 @@ class Trainer:
         a = self.args
         if self._eval_step is None:
             self._build_steps(max(1, self.train_dataset.num_batches(a.train_batch_size)))
-        total_loss, preds, trues = 0.0, [], []
+        total_loss, total_mass, preds, trues = 0.0, 0.0, [], []
         for batch, labels in _progress(
                 dataset.batches(a.eval_batch_size, shuffle=False),
                 a.disable_tqdm or not self.p0,
@@ -588,11 +601,19 @@ class Trainer:
             # of paying a second device→host round trip (the train loop's
             # per-step-sync discipline, applied to eval)
             logits, loss = jax.device_get((logits, loss))
-            total_loss += float(loss) * n
+            # the step's loss is a weighted mean over the batch's VALID mass
+            # (padding + label_weights-zeroed rows excluded, losses._wmean);
+            # re-weight by that same mass — multiplying by the raw row count
+            # would bias eval_loss whenever invalid rows are present (the
+            # train window's valid-mass accounting, applied to eval).
+            # `weight` is host numpy from _pad, so the mass costs no fetch.
+            mass = float(weight.sum())
+            total_loss += float(loss) * mass
+            total_mass += mass
             logits = np.asarray(logits)[:n]
             preds.extend(self.get_eval_preds(logits))
             trues.extend(self.get_eval_true(labels))
-        results = dict(eval_loss=total_loss / max(dataset.num_examples, 1))
+        results = dict(eval_loss=total_loss / max(total_mass, 1e-9))
         results.update(self.evaluation_metrics(trues, preds))
         return results
 
