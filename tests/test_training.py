@@ -803,3 +803,78 @@ def test_eval_loss_mass_weighting():
     feats_b["label_weights"] = np.tile([1.0, 0.0], 16).astype(np.float32)
     loss_b = tr.evaluate(InMemoryDataset(feats_b, labels_b))["eval_loss"]
     np.testing.assert_allclose(loss_b, loss_a, rtol=1e-5)
+
+
+def test_bloomberg_multilabel_metrics_match_sklearn():
+    """Bloomberg metrics use MULTILABEL semantics like the reference
+    (exact-match accuracy + per-column positive-class F1), not a raveled
+    class sequence (vault/models/vault/trainer.py:84-91)."""
+    import sklearn.metrics as skm
+
+    from vault_tpu.training.task_trainers import BloombergTrainer
+
+    y_true = [[1, 0], [1, 1], [0, 0], [0, 1]]
+    y_pred = [[1, 1], [1, 1], [0, 0], [1, 1]]
+    res = BloombergTrainer.evaluation_metrics(None, y_true, y_pred)
+    np.testing.assert_allclose(
+        res["eval_accuracy"], skm.accuracy_score(y_true, y_pred))
+    np.testing.assert_allclose(
+        res["f1_score"],
+        skm.f1_score(y_true, y_pred, average="weighted", zero_division=0))
+    np.testing.assert_allclose(
+        res["macro_f1_score"],
+        skm.f1_score(y_true, y_pred, average="macro", zero_division=0))
+
+
+def test_task_trainers_stop_on_eval_loss_without_mutating_args():
+    """Bloomberg AND MVSA early-stop on eval_loss/lower-better (reference
+    VaultTrainerForMVSA inherits it), via a COPY of TrainArgs — the
+    caller's instance, reused across trainers/reps, must stay untouched."""
+    from vault_tpu.training.task_trainers import BloombergTrainer, MvsaTrainer
+
+    cfg, params, apply_fn, feats, labels = _toy_setup(n=16)
+    shared = TrainArgs(lr=1e-3, train_batch_size=8, seed=0)
+    for cls, kw in ((BloombergTrainer, {}),
+                    (MvsaTrainer, {"preprocessed": False})):
+        tr = cls(apply_fn, jax.device_get(params), shared,
+                 InMemoryDataset(feats, labels),
+                 exp_handler=ExperimentHandler("/tmp/esm", cls.__name__), **kw)
+        assert tr.args.early_stopping_metric == "eval_loss"
+        assert tr.args.higher_better is False
+        assert tr.early_stopping.higher_better is False
+    assert shared.early_stopping_metric == "eval_accuracy"
+    assert shared.higher_better is True
+
+
+def test_hf_adamw_update_without_params():
+    """optax contract: update(grads, state) with params=None works when no
+    transformation needs params (weight_decay=0)."""
+    from vault_tpu.training.optimizer import hf_adamw
+
+    tx = hf_adamw(1e-3)
+    p = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = tx.init(p)
+    updates, _ = tx.update(jax.tree.map(jnp.ones_like, p), state)
+    assert all(np.isfinite(np.asarray(u)).all()
+               for u in jax.tree.leaves(updates))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hf_adamw(1e-3, weight_decay=0.01).update(
+            jax.tree.map(jnp.ones_like, p), tx.init(p))
+
+
+def test_experiment_parent_gating_survives_reload(tmp_path):
+    """Parent-gated params must survive the obj.pkl round trip: a reloaded
+    handler regaining a parent-disabled key would rewrite params.yml and
+    split future runs into a fresh folder instead of aggregating."""
+    h = ExperimentHandler(str(tmp_path), "Exp")
+    h.set_params({"use_ocr": False})
+    h.set_param("ocr_lr", 1e-3, parent="use_ocr")
+    h.set_dict_metrics({"train_loss": 1.0})
+    h.log()
+    assert "ocr_lr" not in h.effective_params()
+
+    h2 = ExperimentHandler.load_existent(h.directory())
+    assert h2._parents == {"ocr_lr": "use_ocr"}
+    assert "ocr_lr" not in h2.effective_params()

@@ -69,7 +69,6 @@ class ExperimentHandler:
         self._parents: Dict[str, str] = {}
         self._series: Dict[str, List[float]] = {}
         self._finals: Dict[str, float] = {}
-        self._best_step: Optional[int] = None
         self._dir: Optional[str] = None
 
     # -- params ------------------------------------------------------------
@@ -170,8 +169,6 @@ class ExperimentHandler:
             key = k if k.startswith("best_") else f"best_{k}"
             if isinstance(v, (int, float, np.floating, np.integer)):
                 self._finals[key] = _fmt(v)
-        if "best_step" in self._finals:
-            self._best_step = int(self._finals["best_step"])
 
     # -- persistence -------------------------------------------------------
     def log(self):
@@ -194,6 +191,13 @@ class ExperimentHandler:
                 "params": self._params,
                 "name_params": self._name_params,
                 "disabled": sorted(self._disabled),
+                # parent gating must survive the round trip: without it a
+                # reloaded handler's effective_params() regains the
+                # parent-disabled keys, params.yml stops matching, and the
+                # next run splits into a fresh _k+1 folder instead of
+                # aggregating (reference pickles the whole instance, so its
+                # _parent_param_dict always survives)
+                "parents": self._parents,
                 "series": self._series,
                 "finals": self._finals,
             }, f)
@@ -235,6 +239,7 @@ class ExperimentHandler:
             h._params = state["params"]
             h._name_params = state["name_params"]
             h._disabled = set(state["disabled"])
+            h._parents = dict(state.get("parents", {}))
             h._series = state["series"]
             h._finals = state["finals"]
         h._dir = directory

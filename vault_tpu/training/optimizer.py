@@ -177,7 +177,16 @@ def hf_adamw(
             v32 = v.astype(jnp.float32)
             return _decay(-step_size * m32 / (jnp.sqrt(v32) + eps), lr, p)
 
-        updates = jax.tree.map(one, mu, nu, params)
+        if params is None:
+            # optax contract: params are optional when nothing needs them —
+            # only weight decay does here (tree.map with a None params tree
+            # would raise a structure mismatch; update_q8 already handles it)
+            if weight_decay > 0.0:
+                raise ValueError(
+                    "hf_adamw with weight_decay > 0 needs params in update()")
+            updates = jax.tree.map(lambda m, v: one(m, v, None), mu, nu)
+        else:
+            updates = jax.tree.map(one, mu, nu, params)
         return updates, HfAdamWState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)

@@ -21,6 +21,7 @@ from collections import defaultdict
 from typing import Dict
 
 import numpy as np
+import jax
 
 from vault_tpu.parallel.mesh import shard_batch
 from vault_tpu.training import losses
@@ -59,13 +60,16 @@ class TomBertTrainer(Trainer):
         if (getattr(dataset, "embeddings", None) is not None
                 and getattr(dataset, "_emb_src", None) is self.resnet_params):
             return
-        import jax as _jax
-
         # params passed as an argument, NOT closed over: closures bake the
         # ~170MB tree into the HLO as constants (CLAUDE.md / docs/NOTES.md —
-        # oversized programs 413 on the remote-compile relay)
-        feats_fn = _jax.jit(lambda rp, imgs: resnet_features(
-            rp, self.resnet_depth, imgs))
+        # oversized programs 413 on the remote-compile relay).  The jitted
+        # wrapper is built ONCE per trainer: a per-call jax.jit gets a fresh
+        # dispatch cache, recompiling the identical program for each of
+        # train/dev/test (~6 min each through the remote-compile tunnel).
+        if not hasattr(self, "_feats_fn"):
+            self._feats_fn = jax.jit(lambda rp, imgs: resnet_features(
+                rp, self.resnet_depth, imgs))
+        feats_fn = self._feats_fn
         embs = []
         bs = self.args.eval_batch_size
         if dataset.images is not None:
@@ -88,12 +92,23 @@ class TomBertTrainer(Trainer):
         return super().train()
 
 
+def _stop_on_eval_loss(trainer: Trainer):
+    """Reference VaultTrainerForBloombergTwitterCorpus (and MVSA, which
+    inherits it) early-stops on eval_loss, lower-better
+    (vault/models/vault/trainer.py:39-40).  COPY the args instead of
+    mutating them: drivers reuse one TrainArgs across trainers/reps and a
+    task-specific override must not leak into the next trainer."""
+    import dataclasses
+
+    trainer.args = dataclasses.replace(
+        trainer.args, early_stopping_metric="eval_loss", higher_better=False)
+    trainer.early_stopping.higher_better = False
+
+
 class BloombergTrainer(Trainer):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self.args.early_stopping_metric = "eval_loss"
-        self.args.higher_better = False
-        self.early_stopping.higher_better = False
+        _stop_on_eval_loss(self)
 
     def calculate_loss(self, logits, labels, weight, train):
         return losses.bce_with_logits(logits, labels, weight)
@@ -106,12 +121,32 @@ class BloombergTrainer(Trainer):
         return np.asarray(labels).astype(int).reshape(len(labels), -1).tolist()
 
     def evaluation_metrics(self, y_true, y_pred):
-        yt = np.asarray(y_true).ravel()
-        yp = np.asarray(y_pred).ravel()
+        # MULTILABEL semantics, exactly as the reference computes them on
+        # the 2-D prediction lists (vault/models/vault/trainer.py:84-91 +
+        # vl_utils/trainer.py:46-50): eval_accuracy is EXACT-MATCH over the
+        # label vector, f1 is per-column binary (positive-class) F1 —
+        # weighted by column positive support for "f1_score", unweighted
+        # for macro.  Raveling to a flat class sequence gives different
+        # numbers (e.g. flat accuracy 0.75 where exact-match is 0.5).
+        yt = np.asarray(y_true, dtype=int).reshape(len(y_true), -1)
+        yp = np.asarray(y_pred, dtype=int).reshape(len(y_pred), -1)
+        exact = float(np.mean(np.all(yt == yp, axis=1))) if len(yt) else 0.0
+        tp = ((yp == 1) & (yt == 1)).sum(0).astype(np.float64)
+        fp = ((yp == 1) & (yt == 0)).sum(0).astype(np.float64)
+        fn = ((yp == 0) & (yt == 1)).sum(0).astype(np.float64)
+
+        def safe_div(a, b):
+            return np.divide(a, b, out=np.zeros_like(a), where=b > 0)
+
+        prec = safe_div(tp, tp + fp)
+        rec = safe_div(tp, tp + fn)
+        f1 = safe_div(2 * prec * rec, prec + rec)
+        support = tp + fn
+        w = support / max(support.sum(), 1.0)
         return {
-            "eval_accuracy": accuracy(yt, yp),
-            "macro_f1_score": f1_score(yt, yp, "macro"),
-            "f1_score": f1_score(yt, yp, "weighted"),
+            "eval_accuracy": exact,
+            "macro_f1_score": float(f1.mean()),
+            "f1_score": float((f1 * w).sum()),
         }
 
 
@@ -139,6 +174,11 @@ class MvsaTrainer(Trainer):
     def __init__(self, *args, preprocessed: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self.preprocessed = preprocessed
+        # reference MVSA inherits Bloomberg's eval_loss/lower-better early
+        # stopping — essential in dual-head mode, where the results dict has
+        # only text_/image_-prefixed accuracies and an eval_accuracy metric
+        # would never fire (no stop, no best-weights protocol)
+        _stop_on_eval_loss(self)
 
     def calculate_loss(self, logits, labels, weight, train):
         if self.preprocessed:
@@ -222,6 +262,11 @@ class RetrievalTrainer(Trainer):
             logits, loss = self._eval_step(
                 self.params, shard_batch(self.mesh, batch_p),
                 shard_batch(self.mesh, labels_p), shard_batch(self.mesh, weight))
+            # ONE host transfer per batch (the base evaluate()'s discipline)
+            # — this sweep covers the full n^2 text-image product, so a
+            # second round trip per batch doubles tunnel latency exactly
+            # where eval is longest
+            logits, loss = jax.device_get((logits, loss))
             total_loss += float(loss) * n
             n_pairs += n
             logits = np.asarray(logits).reshape(-1)[:n]
