@@ -193,3 +193,65 @@ def test_auto_canvas_bucketing():
     # bucket_canvas unit: oversized custom geometry passes through
     big = [np.zeros((3, 700, 200), np.float32)]
     assert bucket_canvas(big) == (700, 384)
+
+
+def test_encode_pair_tie_truncation_matches_hf(tok, hf_tok):
+    """Equal-length pair under truncation: HF's longest_first trims the
+    PAIR on ties (reference leans on this, tombert/dataset.py:186)."""
+    a = "the quick brown fox"   # 4 tokens
+    b = "a cat sat on"          # 4 tokens
+    for ml in (10, 9, 8):       # budgets forcing 1/2/3 removals
+        ours = tok.encode(a, b, max_length=ml)
+        ref = hf_tok(a, b, padding="max_length", truncation=True,
+                     max_length=ml)
+        assert ours["input_ids"] == ref["input_ids"], ml
+        assert ours["token_type_ids"] == ref["token_type_ids"], ml
+
+
+def test_mixed_text_pairs_with_hf_tokenizer(hf_tok):
+    """encode_text with SOME pairs None must work for HF tokenizers too
+    (they reject None entries in a pair list); rows match per-row calls."""
+    proc = VaultProcessor(hf_tok, max_length=12, canvas=(32, 32))
+    enc = proc.encode_text(["the quick fox", "a cat sat"],
+                           text_pairs=["on a mat", None])
+    row0 = hf_tok("the quick fox", "on a mat", padding="max_length",
+                  truncation=True, max_length=12)
+    row1 = hf_tok("a cat sat", padding="max_length", truncation=True,
+                  max_length=12)
+    assert enc["input_ids"][0].tolist() == row0["input_ids"]
+    assert enc["input_ids"][1].tolist() == row1["input_ids"]
+
+
+def test_rgba_blends_onto_white():
+    """RGBA -> RGB must alpha-blend onto white like the reference's
+    skimage rgba2rgb, not drop the alpha channel."""
+    from vault_tpu.data.image import rgba_to_rgb
+
+    img = np.zeros((2, 2, 4), np.uint8)           # black, fully transparent
+    img[0, 0] = (255, 0, 0, 255)                  # opaque red
+    img[0, 1] = (0, 0, 0, 128)                    # half-transparent black
+    out = rgba_to_rgb(img)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 1].tolist() == [255, 255, 255]  # transparent -> white
+    assert out[0, 1, 0] == round(255 * (1 - 128 / 255))
+
+
+def test_center_crop_offsets_match_torchvision():
+    """safe_aspect_crop + imagenet_preprocess use torchvision geometry:
+    resize long side floors, CenterCrop offset = int(round(diff/2))."""
+    from vault_tpu.data.image import MAX_ASPECT_RATIO, safe_aspect_crop
+    from vault_tpu.data.tombert_dataset import imagenet_preprocess
+
+    # resize: torchvision Resize(224) on 100x333 -> (224, 745), floor
+    out = imagenet_preprocess(np.zeros((100, 333, 3), np.uint8), 224)
+    assert out.shape == (3, 224, 224)
+    # offsets: pick h so the crop leaves an odd diff whose .5 rounds UP
+    # under half-to-even (torchvision: top = int(round(diff / 2.0)))
+    new_h = int(8 * MAX_ASPECT_RATIO)           # 8-wide image -> crop target
+    h = new_h + 343                             # diff 343 -> 171.5 -> 172
+    img = (np.arange(h)[:, None, None] * np.ones((1, 8, 3))).astype(np.int32)
+    cropped = safe_aspect_crop(img)
+    top = int(round((h - new_h) / 2.0))
+    assert top != (h - new_h) // 2              # the case floor gets wrong
+    assert cropped.shape[0] == new_h
+    assert cropped[0, 0, 0] == top

@@ -34,11 +34,19 @@ FAIL_IMAGE_BN = "17_06_4705.jpg"  # designated fallback meme (reference
 
 def load_image_file(path: str) -> np.ndarray:
     """Robust image load -> (H, W, 3) uint8 (RGBA->RGB, gray->RGB; truncated
-    files tolerated, reference vault/tmsc_utils/dataset.py:285-320)."""
+    files tolerated, reference vault/tmsc_utils/dataset.py:285-320).
+    RGBA blends onto white like the reference's skimage rgba2rgb —
+    PIL .convert('RGB') would drop alpha and expose the under-color of
+    transparent pixels instead."""
     from PIL import Image, ImageFile
+
+    from vault_tpu.data.image import rgba_to_rgb
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True
     with Image.open(path) as im:
+        if im.mode in ("RGBA", "LA", "PA", "P"):
+            # P(alette) images may carry transparency; go through RGBA
+            return rgba_to_rgb(np.asarray(im.convert("RGBA"), np.uint8))
         im = im.convert("RGB")
         return np.asarray(im, np.uint8)
 
@@ -388,12 +396,13 @@ class VisionLanguageDataset:
         # list of texts; each text becomes an example re-using its image.
         if texts and isinstance(texts[0], (list, tuple)):
             flat_texts, flat_paths, flat_ids, flat_labels = [], [], [], []
+            labels_arr = np.asarray(labels)  # once, NOT per flattened row
             for i, group in enumerate(texts):
                 for t in group:
                     flat_texts.append(t)
                     flat_paths.append(image_paths[i])
                     flat_ids.append(ids[i])
-                    flat_labels.append(np.asarray(labels)[i])
+                    flat_labels.append(labels_arr[i])
             texts, image_paths, ids = flat_texts, flat_paths, flat_ids
             labels = np.asarray(flat_labels)
         self.ids = list(ids)

@@ -72,12 +72,16 @@ def safe_aspect_crop(image: np.ndarray) -> np.ndarray:
     h, w = image.shape[:2]
     if max(w / h, h / w) <= MAX_ASPECT_RATIO:
         return image
+    # offsets use torchvision CenterCrop's int(round(diff / 2.0)) — Python
+    # half-to-even on the odd-diff .5 cases — not floor (a 1 px window
+    # shift vs the reference on exactly the pathological images this
+    # guard exists for)
     if h > w:
         new_h = int(w * MAX_ASPECT_RATIO)
-        top = (h - new_h) // 2
+        top = int(round((h - new_h) / 2.0))
         return image[top:top + new_h]
     new_w = int(h * MAX_ASPECT_RATIO)
-    left = (w - new_w) // 2
+    left = int(round((w - new_w) / 2.0))
     return image[:, left:left + new_w]
 
 
@@ -92,14 +96,26 @@ def relative_random_crop(rng: np.random.Generator, image: np.ndarray,
     return image[top:top + ch, left:left + cw]
 
 
+def rgba_to_rgb(img: np.ndarray) -> np.ndarray:
+    """(H, W, 4) uint8 -> (H, W, 3) uint8, alpha-blended onto WHITE like
+    skimage.color.rgba2rgb (the reference's conversion,
+    vault/tmsc_utils/dataset.py:302) — simply dropping the alpha channel
+    would feed the model the (often black) under-color of fully
+    transparent pixels instead of the white the reference sees."""
+    rgb = img[..., :3].astype(np.float32) / 255.0
+    a = img[..., 3:4].astype(np.float32) / 255.0
+    out = rgb * a + (1.0 - a)  # white background
+    return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+
+
 def _to_rgb_hwc(image: np.ndarray) -> np.ndarray:
     img = np.asarray(image)
     if img.ndim == 2:
         img = img[..., None]
     if img.shape[-1] == 1:
         img = np.tile(img, (1, 1, 3))
-    elif img.shape[-1] == 4:  # RGBA -> RGB (reference tolerates both,
-        img = img[..., :3]    # vault/tmsc_utils/dataset.py:285-320)
+    elif img.shape[-1] == 4:
+        img = rgba_to_rgb(img)
     return img
 
 

@@ -82,13 +82,6 @@ def grouped_batch_indices(keys: Sequence, batch_size: int,
     yield from batches
 
 
-def image_canvas_keys(shapes_hw: Sequence[Tuple[int, int]]) -> list:
-    """canvas_key over raw (H, W) image sizes (see data/image.py)."""
-    from vault_tpu.data.image import canvas_key
-
-    return [canvas_key(h, w) for h, w in shapes_hw]
-
-
 def peek_image_size(path: str) -> Tuple[int, int]:
     """(H, W) from the file header without decoding pixels — lets lazy
     datasets compute orientation keys cheaply."""

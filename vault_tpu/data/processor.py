@@ -61,7 +61,17 @@ class VaultProcessor:
         kw = dict(padding="max_length", truncation=True, max_length=max_length,
                   return_tensors="np")
         if text_pairs is not None and any(p is not None for p in text_pairs):
-            enc = self.tokenizer(list(texts), list(text_pairs), **kw)
+            if any(p is None for p in text_pairs):
+                # HF rejects None entries inside a pair list (the native
+                # batch_encode handles per-element None); encode row-wise so
+                # mixed lists behave identically across tokenizer types
+                rows = [self.tokenizer(t, p, **kw) if p is not None
+                        else self.tokenizer(t, **kw)
+                        for t, p in zip(texts, text_pairs)]
+                enc = {k: np.concatenate([np.asarray(r[k]) for r in rows])
+                       for k in rows[0].keys()}
+            else:
+                enc = self.tokenizer(list(texts), list(text_pairs), **kw)
         else:
             enc = self.tokenizer(list(texts), **kw)
         out = {k: np.asarray(v, np.int32) for k, v in enc.items()

@@ -27,8 +27,15 @@ def imagenet_preprocess(image: np.ndarray, crop_size: int = 224) -> np.ndarray:
     import jax.image
 
     h, w = image.shape[:2]
-    scale = crop_size / min(h, w)
-    nh, nw = max(crop_size, round(h * scale)), max(crop_size, round(w * scale))
+    # torchvision Resize(int) geometry EXACTLY: short side = crop_size,
+    # long side = int(crop_size * long / short) — FLOOR, not round (a 1 px
+    # pre-crop difference shifts the center-crop window and thus every
+    # cached frozen-ResNet embedding)
+    if h <= w:
+        nh, nw = crop_size, int(crop_size * w / h)
+    else:
+        nh, nw = int(crop_size * h / w), crop_size
+    # torchvision CenterCrop top/left = int(round((full - crop) / 2.0))
     # host-side work pinned to the CPU backend: with a TPU default backend
     # this per-image, per-shape eager resize would otherwise compile one
     # REMOTE program per distinct source geometry (docs/NOTES.md: ~minutes
@@ -37,7 +44,8 @@ def imagenet_preprocess(image: np.ndarray, crop_size: int = 224) -> np.ndarray:
         img = jax.image.resize(np.asarray(image, np.float32), (nh, nw, 3),
                                method="bilinear", antialias=True)
         img = np.asarray(img)
-    top, left = (nh - crop_size) // 2, (nw - crop_size) // 2
+    top = int(round((nh - crop_size) / 2.0))
+    left = int(round((nw - crop_size) / 2.0))
     img = img[top:top + crop_size, left:left + crop_size]
     img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return img.transpose(2, 0, 1).astype(np.float32)
@@ -91,12 +99,18 @@ class TomBertTmscDataset:
         # this is purely a memory/CPU-overlap tradeoff, not augmentation.
         self.images: Optional[np.ndarray] = None
         if not preprocess_on_fetch:
-            imgs = []
-            for e in self.examples:
+            # same thread pool as the lazy path below (decode + resize
+            # release the GIL) — a serial loop here ignored num_workers and
+            # multiplied construction time on multi-core hosts
+            from vault_tpu.data.loader import parallel_map
+
+            def _load(e):
                 img, err = load_image_with_fallback(self.image_dir, e.image_bn)
-                self._err_count += int(err)
-                imgs.append(imagenet_preprocess(img, crop_size))
-            self.images = np.stack(imgs)
+                return imagenet_preprocess(img, crop_size), err
+
+            pairs = parallel_map(_load, list(self.examples), num_workers)
+            self._err_count += sum(int(e) for _, e in pairs)
+            self.images = np.stack([im for im, _ in pairs])
         self.embeddings: Optional[np.ndarray] = None
 
     @property

@@ -267,9 +267,14 @@ class WordPieceTokenizer:
             if b is None:
                 a = a[:budget]
             else:
-                # longest-first: trim the longer sequence one token at a time
+                # longest-first: trim the longer sequence one token at a
+                # time.  TIES trim the PAIR, exactly as HF truncate_sequences
+                # does (`if len(ids) > len(pair_ids): ids else pair_ids`) —
+                # the reference leans on this ("truncates preferably from
+                # the target if the two are equal",
+                # vault/models/tombert/dataset.py:186)
                 while len(a) + len(b) > budget:
-                    if len(a) >= len(b):
+                    if len(a) > len(b):
                         a = a[:-1]
                     else:
                         b = b[:-1]
