@@ -225,7 +225,10 @@ def main():
 
     # text preprocessing per reference recipe (twitter preprocessor +
     # per-LM demojizer) for the VL datasets
-    demojizer = demojizer_selector(os.path.basename(bert_name or ""))
+    # normpath first: a trailing slash would make basename return "" and
+    # silently select the identity demojizer
+    demojizer = demojizer_selector(
+        os.path.basename(os.path.normpath(bert_name)) if bert_name else "")
     pre = twitter_preprocessor()
     text_pre = lambda t: pre(demojizer(t))
 
@@ -256,15 +259,20 @@ def main():
         tokenizer.add_tokens(["$T$"])
 
     if args.task == "Twitter201X":
-        mk = lambda kinds, augment=False: Twitter201XDataset(
+        mk = lambda kinds, augment=False, label_mapping=None: Twitter201XDataset(
             args.dir, kinds, processor, image_dir=args.image_dir,
             max_length=args.max_length, augment=augment,
             num_workers=args.max_num_workers, entity_map=entity_map or None,
-            orientation_buckets=args.orientation_buckets)
+            orientation_buckets=args.orientation_buckets,
+            label_mapping=label_mapping)
         train_ds = mk(args.train_split,
                       augment=args.image_augmentation or args.preprocess_on_fetch)
-        dev_ds = mk(args.dev_split) if args.dev_split else None
-        test_ds = mk(args.test_split) if args.test_split else None
+        # dev/test REUSE the train mapping: identical when every split
+        # carries every class (sorted over the same set — the reference's
+        # per-split derivation), and safe when a small split is missing one
+        lm = train_ds.label_mapping
+        dev_ds = mk(args.dev_split, label_mapping=lm) if args.dev_split else None
+        test_ds = mk(args.test_split, label_mapping=lm) if args.test_split else None
         n_classes = len(train_ds.label_mapping)
         trainer_cls = TmscTrainer
         splits = list(args.train_split) + list(args.dev_split or [])
@@ -336,22 +344,11 @@ def main():
         # each rep draws fresh model weights.
         if entity_descriptions:
             from vault_tpu.text.entity_linking import (
-                integrate_entities_into_embeddings,
+                integrate_entities_into_vault,
             )
 
-            target = "bert" if run_cfg.text_tower is not None else "vilt"
-            emb_key = "embeddings" if target == "bert" else "text_embeddings"
-            table = integrate_entities_into_embeddings(
-                params[target][emb_key]["word"],
-                entity_descriptions, tokenizer)
-            params[target][emb_key]["word"] = table
-            import dataclasses
-            if target == "bert":
-                run_cfg = dataclasses.replace(run_cfg, text_tower=dataclasses.replace(
-                    run_cfg.text_tower, vocab_size=table.shape[0]))
-            else:
-                run_cfg = dataclasses.replace(run_cfg, vilt=dataclasses.replace(
-                    run_cfg.vilt, vocab_size=table.shape[0]))
+            params, run_cfg = integrate_entities_into_vault(
+                params, run_cfg, entity_descriptions, tokenizer)
 
         if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
             from vault_tpu.models.vault import resize_token_embeddings

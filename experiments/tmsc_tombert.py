@@ -197,14 +197,18 @@ def main():
         # rows first, then the random $T$ row) lines up with token ids
         tokenizer.add_tokens(["$T$"])
 
-    mk = lambda kinds, on_fetch=False: TomBertTmscDataset(
+    mk = lambda kinds, on_fetch=False, label_mapping=None: TomBertTmscDataset(
         args.dir, kinds, processor, image_dir=args.image_dir,
         max_total_length=max_total, max_target_length=args.max_target_length,
         crop_size=args.crop_size, preprocess_on_fetch=on_fetch,
-        num_workers=args.max_num_workers, entity_map=entity_map or None)
+        num_workers=args.max_num_workers, entity_map=entity_map or None,
+        label_mapping=label_mapping)
     train_ds = mk(args.train_split, on_fetch=args.preprocess_on_fetch)
-    dev_ds = mk(args.dev_split) if args.dev_split else None
-    test_ds = mk(args.test_split) if args.test_split else None
+    # dev/test reuse the train mapping (identical when all classes appear
+    # in every split; safe when a small split is missing one)
+    lm = train_ds.label_mapping
+    dev_ds = mk(args.dev_split, label_mapping=lm) if args.dev_split else None
+    test_ds = mk(args.test_split, label_mapping=lm) if args.test_split else None
     n_classes = len(train_ds.label_mapping)
     vis_dim = RESNET_OUT_DIM[args.resnet_depth]
 
@@ -347,27 +351,13 @@ def main():
             run_vault_cfg = vault_cfg
             params = grow_towers(params, ["target_bert"])
             if entity_descriptions:
-                tgt = "bert" if run_vault_cfg.text_tower is not None else "vilt"
-                ek = "embeddings" if tgt == "bert" else "text_embeddings"
-                table = integrate_entities_into_embeddings(
-                    params["vault"][tgt][ek]["word"],
-                    entity_descriptions, tokenizer)
-                params["vault"] = {**params["vault"],
-                                   tgt: {**params["vault"][tgt],
-                                         ek: {**params["vault"][tgt][ek],
-                                              "word": table}}}
-                import dataclasses
-                if tgt == "bert":
-                    run_vault_cfg = dataclasses.replace(
-                        run_vault_cfg,
-                        text_tower=dataclasses.replace(
-                            run_vault_cfg.text_tower,
-                            vocab_size=table.shape[0]))
-                else:
-                    run_vault_cfg = dataclasses.replace(
-                        run_vault_cfg,
-                        vilt=dataclasses.replace(run_vault_cfg.vilt,
-                                                 vocab_size=table.shape[0]))
+                from vault_tpu.text.entity_linking import (
+                    integrate_entities_into_vault,
+                )
+
+                params["vault"], run_vault_cfg = integrate_entities_into_vault(
+                    params["vault"], run_vault_cfg, entity_descriptions,
+                    tokenizer)
             if args.add_placeholder_token and hasattr(tokenizer, "__len__"):
                 from vault_tpu.models.vault import resize_token_embeddings
 

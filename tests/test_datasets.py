@@ -483,3 +483,62 @@ def test_canvas_key_predicts_pipeline_bucket_property():
         key = canvas_key(h, w)
         assert th <= key[0] and tw <= key[1], (h, w, th, tw, key)
         assert bucket_canvas([out]) == key, (h, w, th, tw, key)
+
+
+def test_elongated_normalization_letters_only():
+    """ekphrasis' elongated handling is LETTERS-only — digit runs (years,
+    prices) must survive intact."""
+    from vault_tpu.text.preprocess import twitter_preprocessor
+
+    pre = twitter_preprocessor()
+    assert "2000" in pre("Apple hit 2000 points in 1999").split()
+    assert "1999" in pre("Apple hit 2000 points in 1999").split()
+    assert "helloo" in pre("hellooooo world").split()  # letters still fold
+
+
+def test_demojizer_leaves_letters_alone():
+    """The offline demojizer must never rewrite LETTER codepoints (CJK,
+    Hangul, kana) into unicode-name parentheticals, and drops invisible
+    variation selectors / ZWJ instead of naming them."""
+    from vault_tpu.text.preprocess import demojizer_selector
+
+    d = demojizer_selector("bert-base-uncased")
+    assert d("日本 한국 カナ") == "日本 한국 カナ"
+    assert d("fire \U0001F525!") == "fire (fire)!"
+    assert d("❤️") == "(heavy black heart)"  # VS-16 folded away
+
+
+def test_twitter_preprocessor_empty_extra_tags_keeps_defaults():
+    """Reference: `extra_tags or [...]` — an explicit empty list falls back
+    to the full default set (hashtag unpacking stays ON)."""
+    from vault_tpu.text.preprocess import twitter_preprocessor
+
+    assert "# " in twitter_preprocessor(extra_tags=[])("#MyNewCar rocks")
+    assert "# " not in twitter_preprocessor(
+        extra_tags=["allcaps"])("#MyNewCar rocks")
+
+
+def test_retrieval_single_example_dataset():
+    """One (text, image) pair: negative sampling has nothing to draw —
+    batches() must yield the positive instead of crashing rng.integers."""
+    from vault_tpu.data.processor import VaultProcessor
+    from vault_tpu.data.retrieval import RetrievalDataset
+    from vault_tpu.text.wordpiece import WordPieceTokenizer
+    import tempfile
+
+    from PIL import Image as PILImage
+
+    vocab = {t: i for i, t in enumerate(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] a cat".split())}
+    proc = VaultProcessor(WordPieceTokenizer(vocab), max_length=8,
+                          canvas=(32, 32))
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/im.jpg"
+        PILImage.new("RGB", (40, 30), (10, 20, 30)).save(p)
+        ds = RetrievalDataset(["x"], ["a cat"], [p], proc,
+                              negatives_per_positive=2)
+        assert ds.num_examples == 1
+        batches = list(ds.batches(4))
+        assert len(batches) == 1
+        feats, labels = batches[0]
+        assert labels.tolist() == [[1.0]]

@@ -35,7 +35,10 @@ class RetrievalDataset:
 
     @property
     def num_examples(self) -> int:
-        return len(self.ids) * (1 + self.negatives)
+        # a single-example dataset has no other image to sample as a
+        # negative (batches() skips negatives there)
+        neg = self.negatives if len(self.ids) >= 2 else 0
+        return len(self.ids) * (1 + neg)
 
     def num_batches(self, batch_size: int) -> int:
         return (self.num_examples + batch_size - 1) // batch_size
@@ -63,6 +66,9 @@ class RetrievalDataset:
                                        shorter=proc.shorter,
                                        longer=proc.longer, max_hw=max_hw)
                 self._pixel_cache[i] = arr
+                # the raw decode is never read again once its processed
+                # tensor is cached — keeping both doubled peak memory
+                self._images[i] = None
             processed.append(arr)
         canvas = bucket_canvas(processed) if auto else proc.canvas
         return pad_batch(processed, canvas=canvas)
@@ -76,6 +82,8 @@ class RetrievalDataset:
         text_idx, img_idx, labels = [], [], []
         for i in range(n):
             text_idx.append(i); img_idx.append(i); labels.append(1.0)
+            if n < 2:
+                continue  # no other image to sample as a negative
             for _ in range(self.negatives):
                 j = int(rng.integers(0, n - 1))
                 j = j + 1 if j >= i else j

@@ -216,9 +216,19 @@ def integrate_entities_into_embeddings(word_embeddings: jnp.ndarray,
     dim = word_embeddings.shape[1]
     new_rows = np.zeros((n_new, dim), np.float32)
     emb = np.asarray(word_embeddings)
+    # the reference pools over tokenizer.encode(desc) — WITH the [CLS]/[SEP]
+    # special tokens, whose embedding rows participate in the per-dimension
+    # max (vault/entity_linking.py:143-144)
+    special_ids = []
+    for attr in ("cls_token", "sep_token"):
+        tok = getattr(tokenizer, attr, None)
+        if tok:
+            got = tokenizer.convert_tokens_to_ids([tok])
+            special_ids.append(got[0] if isinstance(got, (list, tuple))
+                               else got)
     for i, description in enumerate(descriptions):  # add-order == row order
         ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(description))
-        ids = [j for j in ids if j < emb.shape[0]]
+        ids = [j for j in list(ids) + special_ids if j < emb.shape[0]]
         if ids:
             new_rows[i] = emb[ids].max(axis=0)
     return jnp.concatenate([word_embeddings, jnp.asarray(new_rows)], axis=0)
@@ -242,18 +252,29 @@ def resolve_entities_for_cli(entity_cache: Optional[str],
 
     entity_map: Dict[str, str] = {}
     descriptions: list = []
+    if wiki_store and not entity_cache:
+        raise ValueError(
+            "--wiki_store was given without --entity_cache: the store is "
+            "only consulted when building the cache file — pass "
+            "--entity_cache <path> to build/use one")
     if not entity_cache or not hasattr(tokenizer, "add_tokens"):
         return entity_map, descriptions
 
     if not os.path.exists(entity_cache):
-        linker = None
         if wiki_store:
             linker = OfflineEntityLinker(wiki_store, threshold)
         else:
             rel = EntityLinker(".", threshold=threshold)
             linker = rel if rel.available else None
-        if linker is not None:
-            build_entity_cache(entity_cache, read_targets(), linker)
+        if linker is None:
+            # the reference raises from EntityLinker here; silently training
+            # with ZERO entities would misreport the requested experiment
+            raise RuntimeError(
+                f"--entity_cache {entity_cache} does not exist and no linker "
+                "is available to build it (REL is not importable and no "
+                "--wiki_store was given). Provide an existing cache file or "
+                "an offline alias store.")
+        build_entity_cache(entity_cache, read_targets(), linker)
 
     cache = load_entity_cache(entity_cache) or {}
     for tgt, (entity, desc) in cache.items():
@@ -263,3 +284,30 @@ def resolve_entities_for_cli(entity_cache: Optional[str],
                 descriptions.append(desc)
             entity_map[tgt] = token
     return entity_map, descriptions
+
+
+def integrate_entities_into_vault(params, cfg, entity_descriptions,
+                                  tokenizer):
+    """Grow the ACTIVE text tower's word-embedding table with entity rows
+    (max-pool init, :func:`integrate_entities_into_embeddings`) and bump the
+    matching config vocab_size.  Returns ``(params, cfg)``; the input tree
+    is not mutated.  One helper shared by both experiment CLIs — the two
+    hand-rolled copies had already drifted (in-place vs rebuilt trees)."""
+    import dataclasses
+
+    if not entity_descriptions:
+        return params, cfg
+    target = "bert" if cfg.text_tower is not None else "vilt"
+    emb_key = "embeddings" if target == "bert" else "text_embeddings"
+    table = integrate_entities_into_embeddings(
+        params[target][emb_key]["word"], entity_descriptions, tokenizer)
+    params = {**params,
+              target: {**params[target],
+                       emb_key: {**params[target][emb_key], "word": table}}}
+    if target == "bert":
+        cfg = dataclasses.replace(cfg, text_tower=dataclasses.replace(
+            cfg.text_tower, vocab_size=int(table.shape[0])))
+    else:
+        cfg = dataclasses.replace(cfg, vilt=dataclasses.replace(
+            cfg.vilt, vocab_size=int(table.shape[0])))
+    return params, cfg

@@ -57,7 +57,10 @@ _TOKEN = re.compile(
     r"|<3"                          # heart
     r"|[!?.]+"                      # punctuation runs stay one token (?!)
     r"|\w+|[^\w\s]")
-_ELONG = re.compile(r"(\w)\1{2,}")
+# LETTERS only, like ekphrasis' elongated regex
+# (\b[A-Za-z]*([a-zA-Z])\1\1[A-Za-z]*\b) — \w would collapse digit runs
+# and rewrite every year/price ("2000" -> "200")
+_ELONG = re.compile(r"([A-Za-z])\1{2,}")
 _REPEAT_PUNCT = re.compile(r"([!?.])(?:[!?.])+")
 _EMPHASIS = re.compile(r"\*(\w+)\*")
 
@@ -94,7 +97,11 @@ def _normalize_token_surface(text: str) -> str:
 def twitter_preprocessor(normalized_tags: Optional[List[str]] = None,
                          extra_tags: Optional[List[str]] = None) -> Callable[[str], str]:
     normalized_tags = normalized_tags or ["url", "email", "phone", "user"]
-    hashtags = (extra_tags is None) or ("hashtag" in extra_tags)
+    # falsy extra_tags ([] or None) falls back to the full default set,
+    # exactly like the reference's `extra_tags or [hashtag, elongated, ...]`
+    # (vault/utils.py:134-141) — an explicit empty list must NOT disable
+    # hashtag unpacking
+    hashtags = ("hashtag" in extra_tags) if extra_tags else True
 
     def process(text: str) -> str:
         if "url" in normalized_tags:
@@ -135,10 +142,19 @@ _LOW_EMOJI = frozenset(map(ord, "©®‼⁉ℹ™"))
 
 
 def _demojize_en(text: str, delimiters=("(", ")")) -> str:
+    """Best-effort stand-in for emoji.demojize (unavailable offline): name
+    emoji-plane codepoints and high SYMBOL characters.  Scoped by unicode
+    category so it never touches letters — a >=U+2190 codepoint test alone
+    would rewrite CJK/Hangul/kana text into name parentheticals.  Variation
+    selectors / ZWJ are dropped (demojize folds them into the emoji name)."""
     out = []
     for ch in text:
         cp = ord(ch)
-        if cp >= 0x2190 or cp in _LOW_EMOJI:  # arrows/symbols/emoji planes
+        if cp in (0xFE0E, 0xFE0F, 0x200D):  # invisible emoji modifiers
+            continue
+        is_emoji_like = cp in _LOW_EMOJI or cp >= 0x1F000 or (
+            cp >= 0x2190 and unicodedata.category(ch) in ("So", "Sk"))
+        if is_emoji_like:
             try:
                 name = unicodedata.name(ch).lower()
             except ValueError:
