@@ -10,10 +10,13 @@ geometry — every code path stays runnable without weights.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Optional
 
 import jax
+
+logger = logging.getLogger(__name__)
 
 from vault_tpu.config import TextTowerConfig, VaultConfig, ViltConfig
 from vault_tpu.models import bert as bert_mod
@@ -108,10 +111,23 @@ def load_vault_backbone(cfg: VaultConfig, rng,
     path is missing."""
     k_vilt, k_bert = jax.random.split(rng)
     vilt_cfg = cfg.resolved_vilt()
+
+    def _warn_random(which, path):
+        # random init MUST be loud: a typo'd local path (or an unfetchable
+        # hub name in this no-egress environment) would otherwise produce a
+        # completed run with untrained-backbone metrics that look like a
+        # legitimate bad experiment
+        logger.warning(
+            "%s: %r is not a local checkpoint directory — initializing "
+            "RANDOM weights (hub downloads are unavailable here)",
+            which, path)
+
     if vilt_path and os.path.isdir(vilt_path):
         sd, _ = _strip_known_prefixes(load_torch_state_dict(vilt_path))
         vilt_params = vilt_params_from_torch(sd, vilt_cfg)
     else:
+        if vilt_path:
+            _warn_random("vilt tower", vilt_path)
         vilt_params = vilt_mod.init_vilt(k_vilt, vilt_cfg)
     params = {"vilt": vilt_params}
     if cfg.text_tower is not None:
@@ -119,6 +135,8 @@ def load_vault_backbone(cfg: VaultConfig, rng,
             sd, _ = _strip_known_prefixes(load_torch_state_dict(bert_path))
             params["bert"] = bert_params_from_torch(sd, cfg.text_tower)
         else:
+            if bert_path:
+                _warn_random("LM tower", bert_path)
             params["bert"] = bert_mod.init_bert(k_bert, cfg.text_tower)
     return params
 
@@ -139,9 +157,9 @@ def load_resnet_tower(weights_path: str, depth: int):
 
     from vault_tpu.models.resnet import resnet_params_from_torch
 
+    # weights_only=True can only yield a tensor dict (full pickled Modules
+    # are rejected at load time), so no state_dict() unwrap exists here
     sd = torch.load(weights_path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
     return resnet_params_from_torch(sd, depth)
 
 
@@ -180,13 +198,24 @@ def build_tokenizer(name_or_path: str, max_length: int = 40):
 
             return ByteLevelBPE(vjson, merges)
         try:
-            # BERTweet's fastBPE and other exotic formats
+            # BERTweet's fastBPE, tokenizer.json fast-tokenizer layouts,
+            # and other exotic formats
             from transformers import AutoTokenizer
 
-            return AutoTokenizer.from_pretrained(name_or_path)
-        except Exception:
-            pass
-    # no local files: minimal functional tokenizer (random-weight runs)
+            tok = AutoTokenizer.from_pretrained(name_or_path)
+            if max_length:
+                tok.model_max_length = max_length
+            return tok
+        except Exception as e:
+            # an EXISTING checkpoint dir whose tokenizer can't be built must
+            # not silently degrade to the 57-token toy vocab — real weights
+            # + garbage token ids produce quietly wrong predictions
+            raise RuntimeError(
+                f"{name_or_path} is a checkpoint directory but no tokenizer "
+                f"could be built from it (no vocab.txt / vocab.json+merges "
+                f"/ bpe.codes; AutoTokenizer failed with: {e})") from e
+    # not a local path at all: minimal functional tokenizer (random-weight
+    # runs / tests)
     base = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
         [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
         ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]

@@ -29,7 +29,9 @@ class VaultPipeline:
         self.cfg = cfg
         self.processor = processor
         self.max_batch = max_batch
-        self.head_fn = head_fn
+        # NOTE: deliberately NOT stored as an attribute — the jitted fwd
+        # below closes over it, so a post-construction reassignment would
+        # silently have no effect; build a new pipeline for a new head
         self.preprocess_timer = StepTimer()
         self.forward_timer = StepTimer()
 
@@ -54,7 +56,15 @@ class VaultPipeline:
         if not isinstance(images, (list, tuple)):
             images = [images]
         n = len(texts)
-        assert n <= self.max_batch, f"batch {n} > max_batch {self.max_batch}"
+        # real raises, not asserts (asserts vanish under python -O, and a
+        # mismatch would otherwise surface as an opaque XLA shape error
+        # deep inside the jitted trace)
+        if len(images) != n:
+            raise ValueError(
+                f"got {len(images)} images for {n} texts — the pipeline "
+                "pairs them elementwise")
+        if n > self.max_batch:
+            raise ValueError(f"batch {n} > max_batch {self.max_batch}")
         with self.preprocess_timer:
             enc = self.processor(list(images), list(texts))
         enc = self._pad(enc, n)

@@ -21,8 +21,11 @@ class StepTimer:
         self._t0 = time.perf_counter()
         return self
 
-    def __exit__(self, *exc):
-        self.times.append(time.perf_counter() - self._t0)
+    def __exit__(self, exc_type, *exc):
+        # only record completed steps: an aborted block's partial elapsed
+        # time would pollute the latency percentiles
+        if exc_type is None:
+            self.times.append(time.perf_counter() - self._t0)
         return False
 
     def summary(self, items_per_step: Optional[int] = None) -> Dict[str, float]:
