@@ -110,28 +110,33 @@ class BatchingEngine:
         self.batches_run = 0          # observability: device calls issued
         self.requests_served = 0
         # sliding windows of recent request latencies / per-batch device+host
-        # times (ms); deque append/iteration are GIL-atomic, no lock needed
+        # times (ms).  Individual deque appends are GIL-atomic, but stats()
+        # ITERATES them (sorted) from the /healthz thread while request and
+        # worker threads append — deque mutation during iteration raises
+        # RuntimeError, so both sides take this lock.
         from collections import deque
 
+        self._stats_lock = threading.Lock()
         self._req_lat_ms = deque(maxlen=1024)
         self._batch_ms = deque(maxlen=1024)
 
     def stats(self) -> dict:
         """Liveness + latency snapshot for /healthz and /metrics."""
         def pct(window, q):
-            xs = sorted(window)
-            if not xs:
+            if not window:
                 return None
+            xs = sorted(window)
             return round(xs[min(len(xs) - 1, int(q * len(xs)))], 2)
 
-        return {
-            "batches_run": self.batches_run,
-            "requests_served": self.requests_served,
-            "queue_depth": self._q.qsize(),
-            "request_latency_ms_p50": pct(self._req_lat_ms, 0.50),
-            "request_latency_ms_p99": pct(self._req_lat_ms, 0.99),
-            "batch_ms_p50": pct(self._batch_ms, 0.50),
-        }
+        with self._stats_lock:
+            return {
+                "batches_run": self.batches_run,
+                "requests_served": self.requests_served,
+                "queue_depth": self._q.qsize(),
+                "request_latency_ms_p50": pct(self._req_lat_ms, 0.50),
+                "request_latency_ms_p99": pct(self._req_lat_ms, 0.99),
+                "batch_ms_p50": pct(self._batch_ms, 0.50),
+            }
 
     # ------------------------------------------------------------- client
     def predict(self, image: np.ndarray, text: str,
@@ -145,7 +150,8 @@ class BatchingEngine:
             raise TimeoutError("predict timed out")
         if item.error is not None:
             raise RuntimeError(item.error)
-        self._req_lat_ms.append((time.perf_counter() - t0) * 1e3)
+        with self._stats_lock:
+            self._req_lat_ms.append((time.perf_counter() - t0) * 1e3)
         return item.result
 
     def close(self):
@@ -191,9 +197,10 @@ class BatchingEngine:
                     for k, v in enc.items()}
                 out = np.asarray(self.apply(
                     {k: jnp.asarray(v) for k, v in feats.items()}))
-                self._batch_ms.append((time.perf_counter() - t0) * 1e3)
-                self.batches_run += 1
-                self.requests_served += n
+                with self._stats_lock:
+                    self._batch_ms.append((time.perf_counter() - t0) * 1e3)
+                    self.batches_run += 1
+                    self.requests_served += n
                 for i, it in enumerate(items):
                     it.result = out[i]
                     it.event.set()
