@@ -27,6 +27,10 @@ CANVAS = tuple(int(v) for v in
 K_LO, K_HI = 2, 12
 
 
+MERGE_TO = os.environ.get("PERF_SWEEP_MERGE_TO")
+MERGE_TO = int(MERGE_TO) if MERGE_TO else None
+
+
 def measure(cfg, params, batch_size, use_pallas):
     rng = np.random.default_rng(0)
     batch = {
@@ -44,7 +48,8 @@ def measure(cfg, params, batch_size, use_pallas):
             feedback, _ = carry
             b = dict(batch)
             b["pixel_values"] = batch["pixel_values"] + feedback
-            out = vault_apply(params, cfg, use_pallas=use_pallas, **b).pooler_output
+            out = vault_apply(params, cfg, use_pallas=use_pallas,
+                              merge_patches_to=MERGE_TO, **b).pooler_output
             return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
 
         init = (jnp.zeros((), jnp.bfloat16),
@@ -92,6 +97,7 @@ def main():
             try:
                 pps, step = measure(cfg, params, bs, use_pallas)
                 print(json.dumps({"batch": bs, "pallas": use_pallas,
+                                  "merge_to": MERGE_TO,
                                   "pairs_per_sec": round(pps, 1),
                                   "ms_per_step": round(step * 1e3, 2)}),
                       flush=True)

@@ -65,6 +65,14 @@ def main():
                          "(parallel/pipeline.py).  For when the text tower "
                          "alone outgrows one chip's HBM; prefer --tp/--dp "
                          "otherwise.  Mutually exclusive with --tp/--dp")
+    ap.add_argument("--merge_to", type=int, default=None,
+                    help="ToMe patch-token merging (ops/token_merge.py): "
+                         "merge the patch tokens down to N before the "
+                         "co-encoder — 87 makes the joint sequence 128 and "
+                         "~halves co-encoder FLOPs at a small accuracy "
+                         "cost (duplicate-exact proportional attention; "
+                         "measured numbers in docs/BENCHMARKS.md). "
+                         "Composes with --quantize/--dp/--tp; not with --pp")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
@@ -157,6 +165,10 @@ def main():
         ap.error(f"--max_batch {args.max_batch} must divide by --dp {args.dp}")
     if args.pp and (args.tp > 1 or args.dp > 1):
         ap.error("--pp is mutually exclusive with --tp/--dp")
+    if args.pp and args.merge_to is not None:
+        ap.error("--merge_to is not supported with --pp (the pipeline "
+                 "stages are compiled without the merge seam)")
+    merge_to = args.merge_to
     if args.pp:
         from vault_tpu.models.vault import classifier_head_apply
         from vault_tpu.parallel.pipeline import PipelineVault
@@ -184,7 +196,7 @@ def main():
         # (tests/test_tp_serving.py), exactly for the int8 modes.
         jfwd = jax.jit(lambda p, b: vault_for_classification(
             p, cfg, b, head_dropout=0.0, deterministic=True,
-            use_pallas=False))
+            use_pallas=False, merge_patches_to=merge_to))
         fwd = lambda b: jfwd(params, jax.device_put(b, bspec))
     elif args.dp > 1:
         from vault_tpu.parallel.mesh import make_mesh
@@ -194,7 +206,7 @@ def main():
         fwd = dp_sharded_forward(
             lambda p, b: vault_for_classification(
                 p, cfg, b, head_dropout=0.0, deterministic=True,
-                use_pallas=impl),
+                use_pallas=impl, merge_patches_to=merge_to),
             mesh, params)
     else:
         # params passed as an argument, not closed over: closed-over trees
@@ -202,7 +214,7 @@ def main():
         # through the compile relay)
         jfwd = jax.jit(lambda p, b: vault_for_classification(
             p, cfg, b, head_dropout=0.0, deterministic=True,
-            use_pallas=impl))
+            use_pallas=impl, merge_patches_to=merge_to))
         fwd = lambda b: jfwd(params, b)
 
     server = InferenceServer(processor, fwd, host=args.host, port=args.port,

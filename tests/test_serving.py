@@ -164,10 +164,12 @@ def test_serve_cli_prequantized_e2e(tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # --merge_to 8 composes ToMe patch merging with the w8a8 path (the
+    # debug_tiny geometry has 16 patch tokens)
     proc = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--debug_tiny",
          "--ckpt", ckpt, "--port", str(port), "--max_batch", "2",
-         "--max_wait_ms", "1"],
+         "--max_wait_ms", "1", "--merge_to", "8"],
         cwd=repo, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
     try:

@@ -72,9 +72,12 @@ def vault_apply(params, cfg: VaultConfig, input_ids=None, attention_mask=None,
                 token_type_ids=None, pixel_values=None, pixel_mask=None,
                 inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
                 deterministic=True, rng=None, use_pallas="auto",
-                remat=False) -> ViltOutput:
+                remat=False, merge_patches_to=None) -> ViltOutput:
     """VaultModel.forward equivalent (vault/models/vault/model.py:207-218,
-    369-372): optional LM pass, then ViLT with inputs_embeds."""
+    369-372): optional LM pass, then ViLT with inputs_embeds.
+
+    ``merge_patches_to``: serving-only ToMe patch-token merging — see
+    vilt_apply / ops/token_merge.py."""
     if rng is not None:
         r_lm, r_vilt = jax.random.split(rng)
     else:
@@ -91,7 +94,8 @@ def vault_apply(params, cfg: VaultConfig, input_ids=None, attention_mask=None,
     return vilt_mod.vilt_apply(
         params["vilt"], vilt_cfg, input_ids, attention_mask, vilt_token_types,
         pixel_values, pixel_mask, inputs_embeds, image_embeds,
-        image_token_type_idx, deterministic, r_vilt, use_pallas, remat)
+        image_token_type_idx, deterministic, r_vilt, use_pallas, remat,
+        merge_patches_to)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +273,8 @@ def vault_with_llama_tower(params, vilt_cfg: ViltConfig, llama_cfg,
 
 def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
                              head_dropout: float = 0.1, deterministic=True,
-                             rng=None, use_pallas="auto", remat=False):
+                             rng=None, use_pallas="auto", remat=False,
+                             merge_patches_to=None):
     """VaultForTMSC.forward (vault/models/vault/model.py:547-570): backbone
     pooler -> dropout -> linear logits.  Used for TMSC (3-way), MVSA (3/6-way)
     and Bloomberg (1-logit BCE)."""
@@ -278,7 +283,8 @@ def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
     else:
         r_model = r_head = None
     out = vault_apply(params, cfg, deterministic=deterministic, rng=r_model,
-                      use_pallas=use_pallas, remat=remat, **batch)
+                      use_pallas=use_pallas, remat=remat,
+                      merge_patches_to=merge_patches_to, **batch)
     logits = classifier_head_apply(params["head"], out.pooler_output,
                                    head_dropout, deterministic, r_head)
     return logits

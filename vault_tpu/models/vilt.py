@@ -196,8 +196,13 @@ def visual_embed(params, cfg: ViltConfig, pixel_values, pixel_mask,
 def joint_embed(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
                 token_type_ids=None, pixel_values=None, pixel_mask=None,
                 inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
-                deterministic=True, rng=None):
-    """ViltEmbeddings.forward: text + visual + modality types, concatenated."""
+                deterministic=True, rng=None, merge_patches_to=None):
+    """ViltEmbeddings.forward: text + visual + modality types, concatenated.
+
+    Returns (tokens, mask, sizes); ``sizes`` is None unless
+    ``merge_patches_to`` is set, in which case patch tokens are ToMe-merged
+    down to that static count (ops/token_merge.py) and ``sizes`` carries the
+    per-token multiplicities for proportional attention."""
     if rng is not None:
         r_text, r_img = jax.random.split(rng)
     else:
@@ -225,9 +230,25 @@ def joint_embed(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
     text = text + params["modality_type"][0]
     img = img + params["modality_type"][image_token_type_idx]
 
+    sizes = None
+    if merge_patches_to is not None and img.shape[1] - 1 > merge_patches_to:
+        # merge AFTER all per-token adds (pos/modality embeds) so the
+        # size-weighted average composes the final embedded tokens; CLS
+        # (img slot 0) is exempt — the pooler reads it
+        from vault_tpu.ops.token_merge import merge_tokens_to
+
+        patches, p_sizes, p_mask = merge_tokens_to(
+            img[:, 1:], img_mask[:, 1:], merge_patches_to)
+        img = jnp.concatenate([img[:, :1], patches], axis=1)
+        img_mask = jnp.concatenate(
+            [img_mask[:, :1], p_mask.astype(img_mask.dtype)], axis=1)
+        b = text.shape[0]
+        sizes = jnp.concatenate(
+            [jnp.ones((b, text.shape[1] + 1), jnp.float32), p_sizes], axis=1)
+
     tokens = jnp.concatenate([text, img], axis=1)
     mask = jnp.concatenate([attention_mask.astype(img_mask.dtype), img_mask], axis=1)
-    return tokens, mask
+    return tokens, mask, sizes
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +302,13 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
 
 
 def vilt_encode(params, cfg: ViltConfig, x, attention_mask, deterministic=True,
-                rng=None, use_pallas="auto", remat=False):
+                rng=None, use_pallas="auto", remat=False, key_sizes=None):
     bias = extend_attention_mask(attention_mask, jnp.float32)
+    if key_sizes is not None:
+        # proportional attention (ToMe): a key representing s merged tokens
+        # weighs s-fold in every softmax — log(s) rides the additive-bias
+        # path, so XLA and the fused Pallas kernels need no changes
+        bias = bias + jnp.log(jnp.maximum(key_sizes, 1.0))[:, None, None, :]
 
     def body(carry, lp):
         h, i = carry
@@ -305,18 +331,24 @@ def vilt_apply(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
                token_type_ids=None, pixel_values=None, pixel_mask=None,
                inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
                deterministic=True, rng=None, use_pallas="auto",
-               remat=False) -> ViltOutput:
-    """Full ViltModel.forward equivalent (modeling_vilt.py:599-717)."""
+               remat=False, merge_patches_to=None) -> ViltOutput:
+    """Full ViltModel.forward equivalent (modeling_vilt.py:599-717).
+
+    ``merge_patches_to`` (static int, serving-only): ToMe-merge the patch
+    tokens down to this count before the encoder (ops/token_merge.py) —
+    e.g. 87 makes the joint sequence 40+1+87 = 128 and ~halves co-encoder
+    FLOPs; attention becomes proportional via a log-size key bias."""
     if rng is not None:
         r_emb, r_enc = jax.random.split(rng)
     else:
         r_emb = r_enc = None
-    tokens, mask = joint_embed(params, cfg, input_ids, attention_mask,
-                               token_type_ids, pixel_values, pixel_mask,
-                               inputs_embeds, image_embeds,
-                               image_token_type_idx, deterministic, r_emb)
+    tokens, mask, sizes = joint_embed(params, cfg, input_ids, attention_mask,
+                                      token_type_ids, pixel_values, pixel_mask,
+                                      inputs_embeds, image_embeds,
+                                      image_token_type_idx, deterministic,
+                                      r_emb, merge_patches_to)
     x = vilt_encode(params, cfg, tokens, mask, deterministic, r_enc,
-                    use_pallas, remat)
+                    use_pallas, remat, key_sizes=sizes)
     x = layer_norm(params["final_ln"], x, cfg.layer_norm_eps)
     pooled = pooler(params, x) if "pooler" in params else None
     return ViltOutput(last_hidden_state=x, pooler_output=pooled,
