@@ -291,11 +291,14 @@ def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
 
 
 def vault_for_mlm(params, cfg: VaultConfig, batch, deterministic=True,
-                  rng=None, use_pallas="auto", remat=False):
+                  rng=None, use_pallas="auto", remat=False,
+                  merge_patches_to=None):
     """VaultForMaskedLM (vault/models/vault/model.py:467-468): MLM logits over
-    the text span of the joint sequence."""
+    the text span of the joint sequence (text tokens precede the patches,
+    so patch merging leaves the text span's indices intact)."""
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
-                      use_pallas=use_pallas, remat=remat, **batch)
+                      use_pallas=use_pallas, remat=remat,
+                      merge_patches_to=merge_patches_to, **batch)
     seq_len = batch["input_ids"].shape[1]
     text_hidden = out.last_hidden_state[:, :seq_len]
     logits = mlm_head_apply(params["mlm"], params["vilt"], cfg.resolved_vilt(),
@@ -304,22 +307,26 @@ def vault_for_mlm(params, cfg: VaultConfig, batch, deterministic=True,
 
 
 def vault_for_vqa(params, cfg: VaultConfig, batch, deterministic=True,
-                  rng=None, use_pallas="auto", remat=False):
+                  rng=None, use_pallas="auto", remat=False,
+                  merge_patches_to=None):
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
-                      use_pallas=use_pallas, remat=remat, **batch)
+                      use_pallas=use_pallas, remat=remat,
+                      merge_patches_to=merge_patches_to, **batch)
     return vqa_head_apply(params["vqa"], cfg.resolved_vilt(), out.pooler_output)
 
 
 def vault_for_retrieval(params, cfg: VaultConfig, batch, deterministic=True,
-                        rng=None, use_pallas="auto", remat=False):
+                        rng=None, use_pallas="auto", remat=False,
+                        merge_patches_to=None):
     out = vault_apply(params, cfg, deterministic=deterministic, rng=rng,
-                      use_pallas=use_pallas, remat=remat, **batch)
+                      use_pallas=use_pallas, remat=remat,
+                      merge_patches_to=merge_patches_to, **batch)
     return rank_head_apply(params["rank"], out.pooler_output)
 
 
 def vault_for_images_and_text(params, cfg: VaultConfig, batch,
                               deterministic=True, rng=None, use_pallas="auto",
-                              remat=False):
+                              remat=False, merge_patches_to=None):
     """VaultForImagesAndTextClassification: pixel_values (B, num_images, C, H, W);
     one backbone pass per image with its own modality slot, concat poolers."""
     pixel_values = batch["pixel_values"]
@@ -333,7 +340,8 @@ def vault_for_images_and_text(params, cfg: VaultConfig, batch,
         sub["image_token_type_idx"] = i + 1
         r = None if rng is None else jax.random.fold_in(rng, i)
         out = vault_apply(params, cfg, deterministic=deterministic, rng=r,
-                          use_pallas=use_pallas, remat=remat, **sub)
+                          use_pallas=use_pallas, remat=remat,
+                          merge_patches_to=merge_patches_to, **sub)
         pooled.append(out.pooler_output)
     pooled_concat = jnp.concatenate(pooled, axis=-1)
     return pair_head_apply(params["pair"], cfg.resolved_vilt(), pooled_concat)
