@@ -72,14 +72,16 @@ def main():
     for name, pixels in inputs.items():
         batch = dict(base_batch, pixel_values=jnp.asarray(pixels))
         ref = np.asarray(vault_apply(params, cfg, **batch).pooler_output)
-        for target in (171, 128, 87):
+        for target, layer in ((171, 0), (128, 0), (87, 0),
+                              (128, 4), (87, 4), (87, 6)):
             out = np.asarray(vault_apply(
-                params, cfg, merge_patches_to=target, **batch).pooler_output)
+                params, cfg, merge_patches_to=target, merge_at_layer=layer,
+                **batch).pooler_output)
             cos = float(np.mean([
                 np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
                 for a, b in zip(out, ref)]))
             print(json.dumps({
-                "images": name, "merge_to": target,
+                "images": name, "merge_to": target, "merge_at_layer": layer,
                 "joint_seq": SEQ + 1 + target,
                 "pooler_max_abs_diff": round(float(np.abs(out - ref).max()), 4),
                 "pooler_cos_sim": round(cos, 5),

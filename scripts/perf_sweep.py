@@ -29,6 +29,7 @@ K_LO, K_HI = 2, 12
 
 MERGE_TO = os.environ.get("PERF_SWEEP_MERGE_TO")
 MERGE_TO = int(MERGE_TO) if MERGE_TO else None
+MERGE_LAYER = int(os.environ.get("PERF_SWEEP_MERGE_LAYER", "0"))
 
 
 def measure(cfg, params, batch_size, use_pallas):
@@ -49,7 +50,8 @@ def measure(cfg, params, batch_size, use_pallas):
             b = dict(batch)
             b["pixel_values"] = batch["pixel_values"] + feedback
             out = vault_apply(params, cfg, use_pallas=use_pallas,
-                              merge_patches_to=MERGE_TO, **b).pooler_output
+                              merge_patches_to=MERGE_TO,
+                              merge_at_layer=MERGE_LAYER, **b).pooler_output
             return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
 
         init = (jnp.zeros((), jnp.bfloat16),

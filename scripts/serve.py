@@ -73,6 +73,11 @@ def main():
                          "cost (duplicate-exact proportional attention; "
                          "measured numbers in docs/BENCHMARKS.md). "
                          "Composes with --quantize/--dp/--tp; not with --pp")
+    ap.add_argument("--merge_at_layer", type=int, default=0,
+                    help="WHERE to merge: 0 (default) merges raw embeddings "
+                         "before the encoder (max savings); k > 0 merges "
+                         "after k encoder layers on contextualized tokens — "
+                         "much lower divergence for (12-k)/12 of the savings")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
@@ -168,7 +173,7 @@ def main():
     if args.pp and args.merge_to is not None:
         ap.error("--merge_to is not supported with --pp (the pipeline "
                  "stages are compiled without the merge seam)")
-    merge_to = args.merge_to
+    merge_to, merge_layer = args.merge_to, args.merge_at_layer
     if args.pp:
         from vault_tpu.models.vault import classifier_head_apply
         from vault_tpu.parallel.pipeline import PipelineVault
@@ -196,7 +201,7 @@ def main():
         # (tests/test_tp_serving.py), exactly for the int8 modes.
         jfwd = jax.jit(lambda p, b: vault_for_classification(
             p, cfg, b, head_dropout=0.0, deterministic=True,
-            use_pallas=False, merge_patches_to=merge_to))
+            use_pallas=False, merge_patches_to=merge_to, merge_at_layer=merge_layer))
         fwd = lambda b: jfwd(params, jax.device_put(b, bspec))
     elif args.dp > 1:
         from vault_tpu.parallel.mesh import make_mesh
@@ -206,7 +211,7 @@ def main():
         fwd = dp_sharded_forward(
             lambda p, b: vault_for_classification(
                 p, cfg, b, head_dropout=0.0, deterministic=True,
-                use_pallas=impl, merge_patches_to=merge_to),
+                use_pallas=impl, merge_patches_to=merge_to, merge_at_layer=merge_layer),
             mesh, params)
     else:
         # params passed as an argument, not closed over: closed-over trees
@@ -214,7 +219,7 @@ def main():
         # through the compile relay)
         jfwd = jax.jit(lambda p, b: vault_for_classification(
             p, cfg, b, head_dropout=0.0, deterministic=True,
-            use_pallas=impl, merge_patches_to=merge_to))
+            use_pallas=impl, merge_patches_to=merge_to, merge_at_layer=merge_layer))
         fwd = lambda b: jfwd(params, b)
 
     server = InferenceServer(processor, fwd, host=args.host, port=args.port,

@@ -149,3 +149,39 @@ def test_merge_composes_with_vault_classifier():
         p, cfg, b, head_dropout=0.0, deterministic=True, merge_patches_to=8))
     logits = np.asarray(fwd(params, batch))
     assert logits.shape == (2, 3) and np.isfinite(logits).all()
+
+
+def test_duplicate_patches_merge_exactly_midstack():
+    """Mid-stack merging (merge_at_layer > 0): identical tokens remain
+    identical after any number of encoder layers, so merging them there is
+    still exact — and the returned attention_mask tracks the merged length."""
+    cfg, params, batch = _setup()
+    params = _flat_pos_embeddings(params)
+    pv = np.asarray(batch["pixel_values"]).copy()
+    pv[:, :, 0:16, 48:64] = pv[:, :, 0:16, 32:48]
+    batch = dict(batch, pixel_values=jnp.asarray(pv))
+
+    base = vilt_apply(params, cfg, **batch)
+    merged = vilt_apply(params, cfg, merge_patches_to=15, merge_at_layer=1,
+                        **batch)
+    assert merged.last_hidden_state.shape[1] == base.last_hidden_state.shape[1] - 1
+    assert merged.attention_mask.shape[1] == base.attention_mask.shape[1] - 1
+    np.testing.assert_allclose(np.asarray(merged.pooler_output),
+                               np.asarray(base.pooler_output),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_midstack_diverges_less_than_embed_merge():
+    """On non-duplicate inputs, merging contextualized tokens (layer 1 of 2)
+    must track the unmerged forward at least as well as embed-time merging
+    tracks it (the reason merge_at_layer exists)."""
+    cfg, params, batch = _setup()
+    base = np.asarray(vilt_apply(params, cfg, **batch).pooler_output)
+    at_embed = np.asarray(vilt_apply(
+        params, cfg, merge_patches_to=8, **batch).pooler_output)
+    at_mid = np.asarray(vilt_apply(
+        params, cfg, merge_patches_to=8, merge_at_layer=1,
+        **batch).pooler_output)
+    d_embed = np.abs(at_embed - base).max()
+    d_mid = np.abs(at_mid - base).max()
+    assert d_mid <= d_embed * 1.05, (d_mid, d_embed)

@@ -72,12 +72,13 @@ def vault_apply(params, cfg: VaultConfig, input_ids=None, attention_mask=None,
                 token_type_ids=None, pixel_values=None, pixel_mask=None,
                 inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
                 deterministic=True, rng=None, use_pallas="auto",
-                remat=False, merge_patches_to=None) -> ViltOutput:
+                remat=False, merge_patches_to=None,
+                merge_at_layer=0) -> ViltOutput:
     """VaultModel.forward equivalent (vault/models/vault/model.py:207-218,
     369-372): optional LM pass, then ViLT with inputs_embeds.
 
-    ``merge_patches_to``: serving-only ToMe patch-token merging — see
-    vilt_apply / ops/token_merge.py."""
+    ``merge_patches_to`` / ``merge_at_layer``: serving-only ToMe
+    patch-token merging — see vilt_apply / ops/token_merge.py."""
     if rng is not None:
         r_lm, r_vilt = jax.random.split(rng)
     else:
@@ -95,7 +96,7 @@ def vault_apply(params, cfg: VaultConfig, input_ids=None, attention_mask=None,
         params["vilt"], vilt_cfg, input_ids, attention_mask, vilt_token_types,
         pixel_values, pixel_mask, inputs_embeds, image_embeds,
         image_token_type_idx, deterministic, r_vilt, use_pallas, remat,
-        merge_patches_to)
+        merge_patches_to, merge_at_layer)
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +275,7 @@ def vault_with_llama_tower(params, vilt_cfg: ViltConfig, llama_cfg,
 def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
                              head_dropout: float = 0.1, deterministic=True,
                              rng=None, use_pallas="auto", remat=False,
-                             merge_patches_to=None):
+                             merge_patches_to=None, merge_at_layer=0):
     """VaultForTMSC.forward (vault/models/vault/model.py:547-570): backbone
     pooler -> dropout -> linear logits.  Used for TMSC (3-way), MVSA (3/6-way)
     and Bloomberg (1-logit BCE)."""
@@ -284,7 +285,8 @@ def vault_for_classification(params, cfg: VaultConfig, batch: Dict[str, Any],
         r_model = r_head = None
     out = vault_apply(params, cfg, deterministic=deterministic, rng=r_model,
                       use_pallas=use_pallas, remat=remat,
-                      merge_patches_to=merge_patches_to, **batch)
+                      merge_patches_to=merge_patches_to,
+                      merge_at_layer=merge_at_layer, **batch)
     logits = classifier_head_apply(params["head"], out.pooler_output,
                                    head_dropout, deterministic, r_head)
     return logits

@@ -302,24 +302,61 @@ def _encoder_layer(lp, cfg: ViltConfig, x, bias, deterministic, rng,
 
 
 def vilt_encode(params, cfg: ViltConfig, x, attention_mask, deterministic=True,
-                rng=None, use_pallas="auto", remat=False, key_sizes=None):
-    bias = extend_attention_mask(attention_mask, jnp.float32)
-    if key_sizes is not None:
-        # proportional attention (ToMe): a key representing s merged tokens
-        # weighs s-fold in every softmax — log(s) rides the additive-bias
-        # path, so XLA and the fused Pallas kernels need no changes
-        bias = bias + jnp.log(jnp.maximum(key_sizes, 1.0))[:, None, None, :]
+                rng=None, use_pallas="auto", remat=False, key_sizes=None,
+                merge_spec=None):
+    """Encoder stack.  ``merge_spec`` (static, serving-only) is
+    ``(layer, patch_start, target)``: after ``layer`` layers, ToMe-merge the
+    patch tokens (positions >= patch_start) down to ``target`` — the scan
+    splits into two static-shape segments at the merge point.  Mid-stack
+    merging operates on contextualized tokens, so it diverges far less than
+    embed-time merging for most of the same FLOP savings (ToMe's regime,
+    arXiv 2210.09461; budgets in docs/BENCHMARKS.md)."""
+    def make_bias(mask, sizes):
+        bias = extend_attention_mask(mask, jnp.float32)
+        if sizes is not None:
+            # proportional attention (ToMe): a key representing s merged
+            # tokens weighs s-fold in every softmax — log(s) rides the
+            # additive-bias path, so XLA and the fused Pallas kernels need
+            # no changes
+            bias = bias + jnp.log(jnp.maximum(sizes, 1.0))[:, None, None, :]
+        return bias
 
-    def body(carry, lp):
-        h, i = carry
-        layer_rng = None if rng is None else jax.random.fold_in(rng, i)
-        from vault_tpu.ops.nn import maybe_remat
-        fn = maybe_remat(_encoder_layer, remat, static_argnums=(1, 4, 6))
-        h = fn(lp, cfg, h, bias, deterministic, layer_rng, use_pallas)
-        return (h, i + 1), None
+    def run_layers(h, bias, lo, hi):
+        layers = jax.tree.map(lambda t: t[lo:hi], params["layers"])
 
-    (x, _), _ = jax.lax.scan(body, (x, 0), params["layers"])
-    return x
+        def body(carry, lp):
+            h, i = carry
+            layer_rng = None if rng is None else jax.random.fold_in(rng, i)
+            from vault_tpu.ops.nn import maybe_remat
+            fn = maybe_remat(_encoder_layer, remat, static_argnums=(1, 4, 6))
+            h = fn(lp, cfg, h, bias, deterministic, layer_rng, use_pallas)
+            return (h, i + 1), None
+
+        (h, _), _ = jax.lax.scan(body, (h, lo), layers)
+        return h
+
+    n_layers = cfg.num_hidden_layers
+    if merge_spec is None:
+        return (run_layers(x, make_bias(attention_mask, key_sizes),
+                           0, n_layers), attention_mask)
+
+    from vault_tpu.ops.token_merge import merge_tokens_to
+
+    # one merge per forward: embed-time sizes would double-count here
+    assert key_sizes is None, "merge_spec excludes embed-time merging"
+    layer, patch_start, target = merge_spec
+    layer = max(0, min(int(layer), n_layers))
+    x = run_layers(x, make_bias(attention_mask, None), 0, layer)
+    patches, p_sizes, p_mask = merge_tokens_to(
+        x[:, patch_start:], attention_mask[:, patch_start:], target)
+    x = jnp.concatenate([x[:, :patch_start], patches], axis=1)
+    mask = jnp.concatenate(
+        [attention_mask[:, :patch_start],
+         p_mask.astype(attention_mask.dtype)], axis=1)
+    b = x.shape[0]
+    sizes = jnp.concatenate(
+        [jnp.ones((b, patch_start), jnp.float32), p_sizes], axis=1)
+    return run_layers(x, make_bias(mask, sizes), layer, n_layers), mask
 
 
 def pooler(params, x):
@@ -331,24 +368,40 @@ def vilt_apply(params, cfg: ViltConfig, input_ids=None, attention_mask=None,
                token_type_ids=None, pixel_values=None, pixel_mask=None,
                inputs_embeds=None, image_embeds=None, image_token_type_idx=1,
                deterministic=True, rng=None, use_pallas="auto",
-               remat=False, merge_patches_to=None) -> ViltOutput:
+               remat=False, merge_patches_to=None,
+               merge_at_layer=0) -> ViltOutput:
     """Full ViltModel.forward equivalent (modeling_vilt.py:599-717).
 
     ``merge_patches_to`` (static int, serving-only): ToMe-merge the patch
-    tokens down to this count before the encoder (ops/token_merge.py) —
-    e.g. 87 makes the joint sequence 40+1+87 = 128 and ~halves co-encoder
-    FLOPs; attention becomes proportional via a log-size key bias."""
+    tokens down to this count (ops/token_merge.py) — e.g. 87 makes the
+    joint sequence 40+1+87 = 128 and ~halves co-encoder FLOPs; attention
+    becomes proportional via a log-size key bias.  ``merge_at_layer``
+    picks WHERE: 0 (default) merges raw embeddings before the encoder
+    (max savings); k > 0 merges after k encoder layers, on contextualized
+    tokens — much lower divergence for (num_layers - k)/num_layers of the
+    savings (budgets in docs/BENCHMARKS.md)."""
     if rng is not None:
         r_emb, r_enc = jax.random.split(rng)
     else:
         r_emb = r_enc = None
+    embed_merge = merge_patches_to if merge_at_layer == 0 else None
     tokens, mask, sizes = joint_embed(params, cfg, input_ids, attention_mask,
                                       token_type_ids, pixel_values, pixel_mask,
                                       inputs_embeds, image_embeds,
                                       image_token_type_idx, deterministic,
-                                      r_emb, merge_patches_to)
-    x = vilt_encode(params, cfg, tokens, mask, deterministic, r_enc,
-                    use_pallas, remat, key_sizes=sizes)
+                                      r_emb, embed_merge)
+    merge_spec = None
+    if merge_patches_to is not None and merge_at_layer > 0:
+        if input_ids is not None:
+            l_text = input_ids.shape[1]
+        elif inputs_embeds is not None:
+            l_text = inputs_embeds.shape[1]
+        else:
+            raise ValueError("merge_at_layer > 0 needs a text span")
+        merge_spec = (merge_at_layer, l_text + 1, merge_patches_to)
+    x, mask = vilt_encode(params, cfg, tokens, mask, deterministic, r_enc,
+                          use_pallas, remat, key_sizes=sizes,
+                          merge_spec=merge_spec)
     x = layer_norm(params["final_ln"], x, cfg.layer_norm_eps)
     pooled = pooler(params, x) if "pooler" in params else None
     return ViltOutput(last_hidden_state=x, pooler_output=pooled,
