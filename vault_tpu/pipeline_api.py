@@ -22,9 +22,12 @@ from vault_tpu.utils.profiling import StepTimer
 
 class VaultPipeline:
     def __init__(self, params, cfg: VaultConfig, processor: VaultProcessor,
-                 max_batch: int = 16, head_fn=None):
+                 max_batch: int = 16, head_fn=None, merge_patches_to=None,
+                 merge_at_layer=0):
         """head_fn(params, ViltOutput) -> task output; default returns
-        (last_hidden_state, pooler_output)."""
+        (last_hidden_state, pooler_output).  ``merge_patches_to`` /
+        ``merge_at_layer``: opt-in ToMe patch-token merging (the serving
+        accelerator — ops/token_merge.py, budgets in docs/BENCHMARKS.md)."""
         self.params = params
         self.cfg = cfg
         self.processor = processor
@@ -36,7 +39,8 @@ class VaultPipeline:
         self.forward_timer = StepTimer()
 
         def fwd(p, batch):
-            out = vault_apply(p, cfg, **batch)
+            out = vault_apply(p, cfg, merge_patches_to=merge_patches_to,
+                              merge_at_layer=merge_at_layer, **batch)
             if head_fn is not None:
                 return head_fn(p, out)
             return out.last_hidden_state, out.pooler_output
