@@ -105,10 +105,13 @@ def main():
         print(f"{name}: {per_iter_ms:.4f} ms/iter", file=sys.stderr)
 
     results["ratio"] = round(results["bf16_ms"] / results["int8_ms"], 3)
-    # theoretical bf16 floor for the pair at 197 TF/s: 2*2*ROWS*H*I FLOPs
+    # theoretical bf16 floor for the pair: 2*2*ROWS*H*I FLOPs at the chip's
+    # bf16 peak — same env knob as bench.py so the two MFU numbers agree on
+    # every chip generation (ADVICE r3)
     flops = 2 * 2 * ROWS * H * I
+    peak = float(os.environ.get("VAULT_BF16_PEAK_TFLOPS", "197")) * 1e12
     results["bf16_mfu_pct"] = round(
-        100 * flops / (results["bf16_ms"] * 1e-3) / 197e12, 1)
+        100 * flops / (results["bf16_ms"] * 1e-3) / peak, 1)
     print(json.dumps(results))
 
 

@@ -110,17 +110,44 @@ def test_invalid_patches_consumed_first_exactly():
 
 
 def test_step_never_merges_valid_into_invalid():
+    """Normal merges (a valid B target exists) must never deposit weight
+    into an invalid B slot: with one valid B available, every merged valid
+    A lands there and the remaining invalid slots stay untouched."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 4)), jnp.float32)
+    sizes = jnp.ones((1, 8), jnp.float32)
+    # A (even) all valid; B (odd): only position 1 valid
+    mask = jnp.asarray([[1, 1, 1, 0, 1, 0, 1, 0]], jnp.int32)
+    y, s, m = bipartite_merge_step(x, sizes, mask, r=2)
+    # the 3 invalid B slots received nothing: content/size/mask untouched
+    np.testing.assert_array_equal(np.asarray(m)[0, -3:], 0)
+    np.testing.assert_allclose(np.asarray(y)[0, -3:],
+                               np.asarray(x)[0, 3::2], atol=0)
+    np.testing.assert_allclose(np.asarray(s)[0, -3:], 1.0)
+    # both merges landed in the single valid B slot
+    assert float(np.asarray(s)[0, -4]) == 3.0
+    # total valid size is conserved
+    assert float((np.asarray(s) * np.asarray(m)).sum()) == 5.0
+
+
+def test_no_valid_target_transfers_instead_of_discarding():
+    """A VALID A row whose every B candidate is invalid must be preserved,
+    not dropped with zero weight (ADVICE r3): it transfers content, size
+    and validity into an invalid B slot."""
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 8, 4)), jnp.float32)
     sizes = jnp.ones((1, 8), jnp.float32)
     mask = jnp.asarray([[1, 0, 1, 0, 1, 0, 1, 0]], jnp.int32)  # all B invalid
     y, s, m = bipartite_merge_step(x, sizes, mask, r=2)
-    # no valid target exists: merges must carry zero weight, so every
-    # invalid B token's content is untouched and stays size-1/invalid
-    np.testing.assert_array_equal(np.asarray(m)[0, -4:], 0)
-    np.testing.assert_allclose(np.asarray(y)[0, -4:], np.asarray(x)[0, 1::2],
-                               atol=0)
-    np.testing.assert_allclose(np.asarray(s)[0, -4:], 1.0)
+    y, s, m = np.asarray(y), np.asarray(s), np.asarray(m)
+    # total valid size conserved: 4 before, 4 after (2 kept A + 2 flipped B)
+    assert float((s * m).sum()) == 4.0
+    assert int(m.sum()) == 4
+    # every valid input token's content survives somewhere in the output
+    # (transfers are 1-token averages = exact copies here)
+    out_rows = {tuple(np.round(y[0, i], 6)) for i in range(6) if m[0, i]}
+    for i in [0, 2, 4, 6]:
+        assert tuple(np.round(np.asarray(x)[0, i], 6)) in out_rows
 
 
 def test_merge_composes_with_vault_classifier():

@@ -27,7 +27,11 @@ TPU-native formulation (vs the reference repo's CUDA gather/scatter ToMe):
 
 Validity-mask semantics: invalid (padded-patch) tokens are consumed FIRST
 with zero merge weight — they vanish from the sequence without
-contaminating any valid token — and invalid B tokens never receive merges.
+contaminating any valid token — and invalid B tokens never receive normal
+merges.  The one exception preserves content rather than leaking padding:
+a VALID A row with no valid B target anywhere (possible only when a batch
+row has <2 valid tokens) transfers itself into an invalid B slot, which
+flips valid — total valid size is conserved exactly in every case.
 
 Serving-only by intent: the size-weighted average has a well-defined
 gradient, but merge decisions (argsort) are non-differentiable choices and
@@ -76,25 +80,33 @@ def bipartite_merge_step(x: jax.Array, sizes: jax.Array, mask: jax.Array,
     fb = xb.astype(jnp.float32)
     na = fa / jnp.maximum(jnp.linalg.norm(fa, axis=-1, keepdims=True), 1e-6)
     nb = fb / jnp.maximum(jnp.linalg.norm(fb, axis=-1, keepdims=True), 1e-6)
-    sim = jnp.einsum("bah,bkh->bak", na, nb,
-                     preferred_element_type=jnp.float32)
+    sim_raw = jnp.einsum("bah,bkh->bak", na, nb,
+                         preferred_element_type=jnp.float32)
     # valid A must never merge into an invalid B
-    sim = jnp.where(mb[:, None, :] > 0, sim, _NEG)
+    sim = jnp.where(mb[:, None, :] > 0, sim_raw, _NEG)
 
     best = jnp.argmax(sim, axis=-1)                       # (B, la)
     val = jnp.max(sim, axis=-1)
-    # a merge is real only when a valid target exists; otherwise weight 0
+    # pair_ok False = a VALID A row with no valid B target anywhere (only
+    # possible when the batch row has <2 valid tokens total, since the
+    # valid-first gather packs valid tokens into a contiguous prefix).
+    # Such a row must not be silently discarded (ADVICE r3): route it to
+    # its most-similar INVALID B slot instead, transferring content, size
+    # and validity — the slot flips valid below and content is preserved.
     pair_ok = val > _NEG / 2
-    # invalid A tokens are consumed first (zero-weight: they just vanish)
+    best_inv = jnp.argmax(jnp.where(mb[:, None, :] > 0, _NEG, sim_raw),
+                          axis=-1)
+    # invalid A tokens are consumed first (zero-weight: they just vanish);
+    # no-target valid rows rank strictly last (val == _NEG already)
     rank_val = jnp.where(ma > 0, val, jnp.inf)
 
     order = jnp.argsort(-rank_val, axis=1)                # merge-first order
     merge_rows = order[:, :r]
     keep_rows = order[:, r:]
 
-    dst = jnp.take_along_axis(best, merge_rows, axis=1)   # (B, r)
-    w = jnp.take_along_axis(sa * ma * pair_ok.astype(jnp.float32),
-                            merge_rows, axis=1)           # (B, r)
+    dst = jnp.take_along_axis(jnp.where(pair_ok, best, best_inv),
+                              merge_rows, axis=1)         # (B, r)
+    w = jnp.take_along_axis(sa * ma, merge_rows, axis=1)  # (B, r)
     src = jnp.take_along_axis(fa, merge_rows[..., None], axis=1)  # (B, r, H)
 
     onehot = jax.nn.one_hot(dst, lb, dtype=jnp.float32)   # (B, r, lb)
@@ -106,9 +118,15 @@ def bipartite_merge_step(x: jax.Array, sizes: jax.Array, mask: jax.Array,
     num = fb * sbm[..., None] + contrib
     den = sbm + w_in
     xb_new = (num / jnp.maximum(den, 1e-6)[..., None]).astype(x.dtype)
-    # invalid B rows keep their original (masked-out) content and size >= 1
-    xb_new = jnp.where(mb[..., None] > 0, xb_new, xb)
-    sb_new = jnp.where(mb > 0, den, sb)
+    # a B row carries content if it was valid OR it received a
+    # validity-transfer merge from a no-target valid A row (w_in > 0 there
+    # implies the transfer: normal merges only ever target valid B, and
+    # invalid A rows carry zero weight); other invalid B rows keep their
+    # original masked-out content and size >= 1
+    receives = (mb > 0) | (w_in > 0)
+    xb_new = jnp.where(receives[..., None], xb_new, xb)
+    sb_new = jnp.where(receives, den, sb)
+    mb_new = receives.astype(mask.dtype)
 
     xa_keep = jnp.take_along_axis(xa, keep_rows[..., None], axis=1)
     sa_keep = jnp.take_along_axis(sa, keep_rows, axis=1)
@@ -116,7 +134,7 @@ def bipartite_merge_step(x: jax.Array, sizes: jax.Array, mask: jax.Array,
 
     return (jnp.concatenate([xa_keep, xb_new], axis=1),
             jnp.concatenate([sa_keep, sb_new], axis=1),
-            jnp.concatenate([ma_keep, mask[:, 1::2]], axis=1))
+            jnp.concatenate([ma_keep, mb_new], axis=1))
 
 
 def merge_tokens_to(x: jax.Array, mask: jax.Array, target: int

@@ -8,6 +8,7 @@ but npz keeps restarts dependency-free and human-debuggable)."""
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict
 
@@ -103,6 +104,10 @@ def restore_checkpoint(path: str, target: Any) -> Any:
         path = path + ".npz"
     data = np.load(path)
     tagged = {k.rsplit("::", 1)[0]: k for k in data.files if "::" in k}
+    # dtype migrations performed during rebuild, surfaced as ONE log line at
+    # the end: resuming a pre-flip fp32-moments checkpoint under the bf16
+    # default silently changes mid-run numerics otherwise (ADVICE r3)
+    migrations: list = []
 
     def rebuild(tree, prefix=""):
         if isinstance(tree, dict):
@@ -148,6 +153,7 @@ def restore_checkpoint(path: str, target: Any) -> Any:
             # ml_dtypes floats report dtype.kind "V", hence the kind set.
             if arr.dtype.kind == t_dtype.kind or (
                     {arr.dtype.kind, t_dtype.kind} <= {"f", "V"}):
+                migrations.append((key, str(arr.dtype), str(t_dtype)))
                 arr = arr.astype(t_dtype)
             else:
                 raise ValueError(
@@ -155,4 +161,12 @@ def restore_checkpoint(path: str, target: Any) -> Any:
                     f"{t_dtype}")
         return arr
 
-    return rebuild(target)
+    out = rebuild(target)
+    if migrations:
+        pairs = sorted({(a, b) for _, a, b in migrations})
+        logging.getLogger(__name__).warning(
+            "restore_checkpoint(%s): migrated %d leaves across dtypes %s "
+            "(e.g. %s); restored numerics differ from the saved state",
+            os.path.basename(path), len(migrations),
+            ", ".join(f"{a}->{b}" for a, b in pairs), migrations[0][0])
+    return out

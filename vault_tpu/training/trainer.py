@@ -165,6 +165,17 @@ class EarlyStopping:
         return metric < self.best - self.delta
 
     def step(self, metric: Optional[float], params=None, **metrics) -> bool:
+        if metric is None and self.patience is not None:
+            # patience is configured but the eval results carry no such
+            # metric: without this warning a misspelled early_stopping_metric
+            # silently disables BOTH early stopping and the best-weights
+            # snapshot/restore protocol (ADVICE r3)
+            logging.getLogger(__name__).warning(
+                "early stopping is configured (patience=%d) but the eval "
+                "results have no value for the early-stopping metric; "
+                "early stop and best-weights restore are INACTIVE this "
+                "window (available keys: %s)",
+                self.patience, sorted(metrics.keys()))
         if metric is None or self.patience is None:
             # early stopping disabled (or no metric to stop on): never
             # snapshot — training must end on the LIVE final params.  A
