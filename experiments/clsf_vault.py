@@ -360,7 +360,9 @@ def main():
             return vault_for_classification(
                 p, _cfg, batch, head_dropout=args.vilt_dropout_prob,
                 deterministic=deterministic, rng=rng,
-                use_pallas=targs.use_pallas, remat=targs.remat)
+                use_pallas=targs.use_pallas, remat=targs.remat,
+                merge_patches_to=targs.merge_to,
+                merge_at_layer=targs.merge_at_layer)
 
         kw = {}
         if args.task == "MVSA":

@@ -57,6 +57,15 @@ TRAINER_ARGS = dict(
                          "QKV+MLP kernels on TPU, XLA elsewhere), false, "
                          "or a '+'-combo like fuseqkv+fusemlp+dotbatch"),
     no_remat=dict(action="store_true", help="disable encoder-layer rematerialization (remat is default: faster and fits bigger batches)"),
+    merge_to=dict(default=None, type=int,
+                  help="trainable ToMe: merge patch tokens to this static "
+                       "count in every train/eval forward (ops/"
+                       "token_merge.py; e.g. 87 halves the joint sequence "
+                       "at bench geometry). Default off"),
+    merge_at_layer=dict(default=0, type=int,
+                        help="merge point: 0 = embeddings (max FLOP "
+                             "savings), k>0 = after k encoder layers "
+                             "(contextualized tokens, lower divergence)"),
     grad_accum_steps=dict(default=1, type=int,
                           help="micro-batches averaged per optimizer step"),
     compute_dtype=dict(default="bfloat16", choices=["float32", "bfloat16"],
@@ -169,6 +178,7 @@ def trainer_args_from_namespace(args, **overrides):
         model_load_filename=args.model_load_filename,
         num_data_shards=args.num_data_shards, use_pallas=args.use_pallas,
         remat=not args.no_remat, compute_dtype=args.compute_dtype,
+        merge_to=args.merge_to, merge_at_layer=args.merge_at_layer,
         opt_state_dtype=args.opt_state_dtype, grad_dtype=args.grad_dtype,
         zero_opt=args.zero_opt,
         grad_accum_steps=args.grad_accum_steps, seed=args.seed,

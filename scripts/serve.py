@@ -72,7 +72,14 @@ def main():
                          "~halves co-encoder FLOPs at a small accuracy "
                          "cost (duplicate-exact proportional attention; "
                          "measured numbers in docs/BENCHMARKS.md). "
-                         "Composes with --quantize/--dp/--tp; not with --pp")
+                         "Composes with --quantize/--dp/--tp; not with --pp. "
+                         "Head validation (measure_head_divergence.py): "
+                         "pooled-classification heads (TMSC/VQA/NLVR2) show "
+                         "ZERO decision flips under --merge_to/--quantize "
+                         "and their composition; MLM top-1 and retrieval "
+                         "rank order move a few percent — for MLM prefer "
+                         "--merge_at_layer 4, for retrieval prefer "
+                         "--quantize over --merge_to")
     ap.add_argument("--merge_at_layer", type=int, default=0,
                     help="WHERE to merge: 0 (default) merges raw embeddings "
                          "before the encoder (max savings); k > 0 merges "

@@ -33,6 +33,10 @@ _r = os.environ.get("TRAIN_BENCH_REMAT", "0")
 REMAT = {"0": False, "1": True}.get(_r, _r)   # "dots" = dots_saveable policy
 OPT_DTYPE = os.environ.get("TRAIN_BENCH_OPT_DTYPE")  # e.g. "bfloat16" m/v
 GRAD_BF16 = os.environ.get("TRAIN_BENCH_GRAD_BF16", "0") == "1"
+# trainable ToMe A/B: TRAIN_BENCH_MERGE_TO=87 [TRAIN_BENCH_MERGE_LAYER=0]
+MERGE_TO = (int(os.environ["TRAIN_BENCH_MERGE_TO"])
+            if os.environ.get("TRAIN_BENCH_MERGE_TO") else None)
+MERGE_LAYER = int(os.environ.get("TRAIN_BENCH_MERGE_LAYER", "0"))
 SEQ = 40
 CANVAS = (384, 608)
 K_LO, K_HI = 2, 8
@@ -71,7 +75,9 @@ def main():
             logits = vault_for_classification(cast_bf16(p), cfg, batch,
                                               head_dropout=0.1,
                                               deterministic=NODROP, rng=rng,
-                                              remat=REMAT)
+                                              remat=REMAT,
+                                              merge_patches_to=MERGE_TO,
+                                              merge_at_layer=MERGE_LAYER)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
 
@@ -111,6 +117,7 @@ def main():
         "unit": "pairs/sec/chip",
         "batch": BATCH, "remat": REMAT, "nodrop": NODROP,
         "opt_dtype": OPT_DTYPE or "float32",
+        "merge_to": MERGE_TO, "merge_at_layer": MERGE_LAYER,
         "ms_per_train_step": round(per_step * 1e3, 2),
     }))
 

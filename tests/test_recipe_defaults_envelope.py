@@ -1,0 +1,105 @@
+"""Recipe dynamics under the SHIPPED TrainArgs defaults (VERDICT r3 #6):
+the throughput knobs that round 3 flipped on by default — rbg dropout
+streams + bfloat16 AdamW m/v — were measured as noise-level on the full
+recipe (scripts/measure_state_dtype_cost.py, docs/BENCHMARKS.md "accuracy
+cost of the throughput knobs").  This test promotes that one-off evidence
+into CI: the same learnable recipe, WITH dropout active, run under
+
+  A. the bit-fidelity config (threefry2x32 + float32 m/v), and
+  B. the shipped defaults (rbg + bfloat16 m/v),
+
+must early-stop at the SAME eval window, restore a best snapshot with the
+same saturated accuracy, and keep the eval-loss trajectories inside a
+noise envelope of each other.  (rbg and threefry draw DIFFERENT — equally
+valid — dropout masks, so this is an envelope test, not bit parity;
+test_full_recipe_parity.py covers step-for-step protocol parity.)"""
+
+import numpy as np
+import jax
+
+from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
+from vault_tpu.data.loader import InMemoryDataset
+from vault_tpu.models.vault import (
+    init_classifier_head,
+    init_vault,
+    vault_for_classification,
+)
+from vault_tpu.training.experiment import ExperimentHandler
+from vault_tpu.training.trainer import TrainArgs, Trainer
+
+
+def _setup(n=48, seed=0):
+    cfg = VaultConfig(
+        vilt=tiny_vilt_config(image_size=32, patch_size=16,
+                              num_patch_tokens=8),
+        text_tower=tiny_text_config(num_hidden_layers=1),
+    )
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 3, n)
+    ids = rng.integers(5, cfg.text_tower.vocab_size, (n, 8))
+    ids[:, 0] = labels + 1          # learnable: class -> first token id
+    feats = {
+        "input_ids": ids.astype(np.int32),
+        "attention_mask": np.ones((n, 8), np.int32),
+        "token_type_ids": np.zeros((n, 8), np.int32),
+        "pixel_values": rng.normal(size=(n, 3, 32, 32)).astype(np.float32),
+        "pixel_mask": np.ones((n, 32, 32), np.int32),
+    }
+    params = init_vault(jax.random.PRNGKey(seed), cfg)
+    params["head"] = init_classifier_head(jax.random.PRNGKey(seed + 1),
+                                          cfg.vilt.hidden_size, 3)
+    return cfg, params, feats, labels
+
+
+def _run(cfg, params, feats, labels, tmp_path, name, **targs_overrides):
+    ds = InMemoryDataset(feats, labels, name="toy(train)")
+
+    def apply_fn(p, batch, deterministic, rng):
+        # dropout ACTIVE in training: the rng_impl knob only matters with a
+        # live dropout stream
+        return vault_for_classification(p, cfg, batch, head_dropout=0.1,
+                                        deterministic=deterministic, rng=rng)
+
+    args = TrainArgs(lr=5e-3, train_batch_size=16, eval_batch_size=16,
+                     num_train_epochs=10, early_stopping_patience=2,
+                     early_stopping_delta=0.01, seed=0, disable_tqdm=True,
+                     prefetch_batches=0, **targs_overrides)
+    handler = ExperimentHandler(str(tmp_path), name)
+    trainer = Trainer(apply_fn, jax.tree.map(np.copy, params), args, ds,
+                      dev_dataset=ds, test_dataset=ds, exp_handler=handler)
+    trainer.train()
+    return ({k: list(v) for k, v in handler._series.items()},
+            dict(handler._finals))
+
+
+def test_shipped_defaults_match_fidelity_config_envelope(tmp_path):
+    cfg, params, feats, labels = _setup()
+    fidelity_series, fidelity_finals = _run(
+        cfg, params, feats, labels, tmp_path, "fidelity",
+        rng_impl="threefry2x32", opt_state_dtype="float32")
+    default_series, default_finals = _run(
+        cfg, params, feats, labels, tmp_path, "defaults")
+    # (TrainArgs defaults ARE the shipped knobs; guard the premise)
+    assert TrainArgs().rng_impl == "rbg"
+    assert TrainArgs().opt_state_dtype == "bfloat16"
+
+    # both runs exercised early stopping, at the SAME eval window
+    assert len(default_series["train_loss"]) < 10, default_series
+    assert (len(default_series["train_loss"])
+            == len(fidelity_series["train_loss"])), (
+        default_series["eval_accuracy"], fidelity_series["eval_accuracy"])
+    assert default_finals["best_step"] == fidelity_finals["best_step"]
+
+    # both saturate the learnable task and restore equivalent best weights
+    assert fidelity_finals["best_eval_accuracy"] >= 0.9
+    assert default_finals["best_eval_accuracy"] >= 0.9
+    np.testing.assert_allclose(default_finals["test_eval_accuracy"],
+                               fidelity_finals["test_eval_accuracy"],
+                               atol=0.1)
+
+    # trajectory envelope: different-but-equally-valid dropout masks + bf16
+    # moments may drift the loss curve, but only at noise level
+    np.testing.assert_allclose(default_series["eval_loss"],
+                               fidelity_series["eval_loss"], atol=0.15)
+    np.testing.assert_allclose(default_series["eval_accuracy"],
+                               fidelity_series["eval_accuracy"], atol=0.15)

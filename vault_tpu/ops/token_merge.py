@@ -33,10 +33,12 @@ a VALID A row with no valid B target anywhere (possible only when a batch
 row has <2 valid tokens) transfers itself into an invalid B slot, which
 flips valid — total valid size is conserved exactly in every case.
 
-Serving-only by intent: the size-weighted average has a well-defined
-gradient, but merge decisions (argsort) are non-differentiable choices and
-dropout stream shapes change with L; use it via
-``vault_apply(..., merge_patches_to=N)`` at inference.  No reference
+Serving (``vault_apply(..., merge_patches_to=N)``) AND training
+(``TrainArgs.merge_to``, arXiv 2210.09461's own regime): the size-weighted
+average is differentiable, and merge DECISIONS (argsort/argmax) are
+piecewise-constant in the inputs, so gradients are exact almost everywhere
+— tests/test_token_merge_train.py checks them against central finite
+differences and trains a dynamics proxy through the merge.  No reference
 counterpart (gchochla/VAuLT serves the full 256-token sequence).
 """
 

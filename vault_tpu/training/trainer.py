@@ -103,6 +103,15 @@ class TrainArgs:
     # remat measured FASTER than storing scan activations even at batch 16
     # (41.4 vs 43.4 ms/step full geometry) and required to fit batch 64
     remat: bool = True
+    # trainable ToMe (arXiv 2210.09461 trains WITH merging): merge patch
+    # tokens down to this static count inside every train/eval forward.
+    # The size-weighted average is differentiable; merge DECISIONS
+    # (argsort/argmax) are piecewise-constant in the inputs, so gradients
+    # are exact a.e. (tests/test_token_merge_train.py checks them against
+    # finite differences).  Experiments thread these into their apply_fn
+    # closures the same way as use_pallas/remat.
+    merge_to: Optional[int] = None
+    merge_at_layer: int = 0
     compute_dtype: str = "float32"
     # Failure recovery (SURVEY.md §5: absent in the reference; here full
     # {params, opt_state, step} checkpoints are written at every eval window
