@@ -99,7 +99,8 @@ def main():
             try:
                 pps, step = measure(cfg, params, bs, use_pallas)
                 print(json.dumps({"batch": bs, "pallas": use_pallas,
-                                  "merge_to": MERGE_TO,
+                                  "quant": quant, "merge_to": MERGE_TO,
+                                  "merge_at_layer": MERGE_LAYER,
                                   "pairs_per_sec": round(pps, 1),
                                   "ms_per_step": round(step * 1e3, 2)}),
                       flush=True)

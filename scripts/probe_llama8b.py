@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""BASELINE config 5 at HONEST scale: Llama-3-8B-geometry text tower
+(random init — no checkpoints can download here) feeding the ViLT
+co-encoder (`vault_with_llama_tower`), batched inference on ONE v5e chip.
+
+The bf16 8B tower is ~16 GB — right at the 15.75 GB HBM limit — so the
+tower ships w8-quantized (~8.1 GB int8 + per-channel scales; ops/
+quantize.py, dequant fused into the matmul operand load), leaving room
+for the bf16 embed table, the ViLT side, and activations.  Weights are
+initialized AND quantized host-side in numpy (an on-device fp32 init
+would need 32 GB), then placed once; the jitted step takes the param
+tree as an argument (tunnel gotcha: closed-over trees bake into the HLO
+and 413 the compile relay).
+
+Slope-timed like bench.py.  Prints one JSON line with pairs/s, ms/step,
+and per-device HBM stats.  Run on the TPU: python scripts/probe_llama8b.py
+(expect the ~6 min remote compile; serialize with other TPU jobs).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vault_tpu.config import ViltConfig
+from vault_tpu.models.llama import LlamaConfig
+from vault_tpu.models.vault import vault_with_llama_tower
+from vault_tpu.models.vilt import init_vilt
+
+BATCH = int(os.environ.get("LLAMA_BENCH_BATCH", 16))
+SEQ = 40
+CANVAS = (384, 608)
+K_LO, K_HI = 2, 6
+
+
+def _np_quant_linear(rng, in_dim, out_dim):
+    """Host-side init + w8 quantization in one pass, matching
+    ops/quantize.quantize_weight's format exactly ({w_q int8, w_scale
+    (1, out) fp32}, absmax/127 per out-channel)."""
+    w = (rng.standard_normal((in_dim, out_dim), dtype=np.float32) * 0.02)
+    absmax = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-8)
+    scale = absmax / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {"w_q": q, "w_scale": scale.astype(np.float32)}
+
+
+def build_llama_w8(cfg: LlamaConfig, seed=0):
+    rng = np.random.default_rng(seed)
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    kvh = cfg.num_key_value_heads * cfg.head_dim
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        layers.append({
+            "input_ln": np.ones((h,), np.float32),
+            "q": _np_quant_linear(rng, h, h),
+            "k": _np_quant_linear(rng, h, kvh),
+            "v": _np_quant_linear(rng, h, kvh),
+            "o": _np_quant_linear(rng, h, h),
+            "post_ln": np.ones((h,), np.float32),
+            "gate": _np_quant_linear(rng, h, i),
+            "up": _np_quant_linear(rng, h, i),
+            "down": _np_quant_linear(rng, i, h),
+        })
+        print(f"init layer {li + 1}/{cfg.num_hidden_layers}", file=sys.stderr)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    embed = (rng.standard_normal((cfg.vocab_size, cfg.hidden_size),
+                                 dtype=np.float32) * 0.02)
+    return {
+        "embed": embed.astype(jnp.bfloat16),
+        "layers": stacked,
+        "final_ln": np.ones((cfg.hidden_size,), np.float32),
+    }
+
+
+def main():
+    llama_cfg = LlamaConfig()           # Llama-3-8B geometry
+    vilt_cfg = ViltConfig()
+
+    t0 = time.time()
+    llama = build_llama_w8(llama_cfg)
+    print(f"host init+quant: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    vilt = init_vilt(k1, vilt_cfg)
+    proj = {"w": np.asarray(jax.random.normal(
+                k2, (llama_cfg.hidden_size, vilt_cfg.hidden_size),
+                jnp.float32) * 0.02),
+            "b": np.zeros((vilt_cfg.hidden_size,), np.float32)}
+
+    def bf16(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype,
+                                                     np.floating) else x, t)
+
+    params = {"llama": llama, "vilt": bf16(vilt), "lm_proj": bf16(proj)}
+    t0 = time.time()
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    print(f"device_put: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    drng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(
+            drng.integers(0, llama_cfg.vocab_size, (BATCH, SEQ)), jnp.int32),
+        "attention_mask": jnp.ones((BATCH, SEQ), jnp.int32),
+        "token_type_ids": jnp.zeros((BATCH, SEQ), jnp.int32),
+        "pixel_values": jnp.asarray(drng.normal(size=(BATCH, 3, *CANVAS)),
+                                    jnp.bfloat16),
+        "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
+    }
+
+    def chained(params, batch, k):
+        def body(_, carry):
+            feedback, _ = carry
+            b = dict(batch)
+            b["pixel_values"] = batch["pixel_values"] + feedback
+            out = vault_with_llama_tower(
+                params, vilt_cfg, llama_cfg, **b).pooler_output
+            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
+
+        init = (jnp.zeros((), jnp.bfloat16),
+                jnp.zeros((BATCH, vilt_cfg.hidden_size), jnp.bfloat16))
+        _, out = jax.lax.fori_loop(0, k, body, init)
+        return out
+
+    run = jax.jit(chained)
+    t0 = time.time()
+    np.asarray(run(params, batch, jnp.int32(1)))
+    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(params, batch, jnp.int32(k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {"hbm_bytes_in_use": stats.get("bytes_in_use"),
+               "hbm_peak_bytes": stats.get("peak_bytes_in_use"),
+               "hbm_limit_bytes": stats.get("bytes_limit")}
+    except Exception as e:  # tunnel backends may not expose stats
+        mem = {"hbm_stats_error": str(e)}
+
+    # matmul FLOPs: llama tower 2*N_active*B*L (weight FLOPs; ~7.5e9
+    # matmul params/tok) + the vilt side's 861 GF at this geometry
+    llama_gf = 2 * 7.50e9 * BATCH * SEQ / 1e9
+    print(json.dumps({
+        "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+        "value": round(BATCH / per_step, 2),
+        "unit": "pairs/sec/chip",
+        "ms_per_step": round(per_step * 1e3, 2),
+        "batch": BATCH,
+        "tower": "llama3-8B-geometry w8",
+        "approx_matmul_gflops_per_step": round(llama_gf + 861, 0),
+        **mem,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,3 +123,38 @@ def test_llama_vilt_mesh_inference():
     out = fwd(params, batch)
     assert out.shape == (16, vilt_cfg.hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_probe_llama8b_host_quant_matches_ops_quantize():
+    """scripts/probe_llama8b.py initializes + w8-quantizes the 8B tower
+    host-side in numpy (an on-device fp32 init would need 32 GB HBM); its
+    format must stay BIT-identical to ops.quantize so `linear()` dispatches
+    the same dequant-fused matmul, and the tree must match what
+    quantize_model_params(init_llama(...)) would produce."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts"))
+    from probe_llama8b import _np_quant_linear, build_llama_w8
+    from vault_tpu.models.llama import init_llama, tiny_llama_config
+    from vault_tpu.ops.quantize import quantize_model_params, quantize_weight
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 4), dtype=np.float32) * 0.02
+    q_ref, s_ref = quantize_weight(jnp.asarray(w))
+    hq = _np_quant_linear(np.random.default_rng(1), 8, 4)
+    np.testing.assert_array_equal(np.asarray(q_ref), hq["w_q"])
+    np.testing.assert_allclose(np.asarray(s_ref), hq["w_scale"], rtol=1e-6)
+
+    cfg = tiny_llama_config()
+    qp = quantize_model_params(init_llama(jax.random.PRNGKey(0), cfg))
+    hostq = jax.tree.map(jnp.asarray, build_llama_w8(cfg, seed=0))
+    assert (jax.tree_util.tree_structure(qp)
+            == jax.tree_util.tree_structure(hostq))
+    # and the quantized tower actually runs through llama_apply
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)), jnp.int32)
+    out = llama_apply(hostq, cfg, ids)
+    assert out.shape == (2, 8, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -72,34 +72,60 @@ def _run(cfg, params, feats, labels, tmp_path, name, **targs_overrides):
             dict(handler._finals))
 
 
-def test_shipped_defaults_match_fidelity_config_envelope(tmp_path):
+def test_bf16_moments_keep_recipe_decisions(tmp_path):
+    """opt_state_dtype bfloat16 vs float32 under the SAME rng stream:
+    pure numerics noise.  The windowed series and — critically — the
+    early-stop decision point and best window must be unchanged."""
     cfg, params, feats, labels = _setup()
-    fidelity_series, fidelity_finals = _run(
-        cfg, params, feats, labels, tmp_path, "fidelity",
-        rng_impl="threefry2x32", opt_state_dtype="float32")
-    default_series, default_finals = _run(
-        cfg, params, feats, labels, tmp_path, "defaults")
+    fp32_series, fp32_finals = _run(cfg, params, feats, labels, tmp_path,
+                                    "fp32mv", opt_state_dtype="float32")
+    bf16_series, bf16_finals = _run(cfg, params, feats, labels, tmp_path,
+                                    "bf16mv")
     # (TrainArgs defaults ARE the shipped knobs; guard the premise)
     assert TrainArgs().rng_impl == "rbg"
     assert TrainArgs().opt_state_dtype == "bfloat16"
 
-    # both runs exercised early stopping, at the SAME eval window
-    assert len(default_series["train_loss"]) < 10, default_series
-    assert (len(default_series["train_loss"])
-            == len(fidelity_series["train_loss"])), (
-        default_series["eval_accuracy"], fidelity_series["eval_accuracy"])
-    assert default_finals["best_step"] == fidelity_finals["best_step"]
+    # identical dropout masks (same rbg stream): the ONLY difference is
+    # m/v storage precision -> same windows, same stop, same best
+    assert len(bf16_series["train_loss"]) < 10, bf16_series
+    assert (len(bf16_series["train_loss"])
+            == len(fp32_series["train_loss"])), (
+        bf16_series["eval_accuracy"], fp32_series["eval_accuracy"])
+    assert bf16_finals["best_step"] == fp32_finals["best_step"]
+    assert bf16_finals["best_eval_accuracy"] >= 0.9
 
-    # both saturate the learnable task and restore equivalent best weights
-    assert fidelity_finals["best_eval_accuracy"] >= 0.9
-    assert default_finals["best_eval_accuracy"] >= 0.9
-    np.testing.assert_allclose(default_finals["test_eval_accuracy"],
-                               fidelity_finals["test_eval_accuracy"],
-                               atol=0.1)
+    np.testing.assert_allclose(bf16_series["train_loss"],
+                               fp32_series["train_loss"], atol=0.02)
+    np.testing.assert_allclose(bf16_series["eval_loss"],
+                               fp32_series["eval_loss"], atol=0.02)
+    np.testing.assert_allclose(bf16_series["eval_accuracy"],
+                               fp32_series["eval_accuracy"], atol=0.051)
+    np.testing.assert_allclose(bf16_finals["test_eval_accuracy"],
+                               fp32_finals["test_eval_accuracy"], atol=0.051)
 
-    # trajectory envelope: different-but-equally-valid dropout masks + bf16
-    # moments may drift the loss curve, but only at noise level
-    np.testing.assert_allclose(default_series["eval_loss"],
-                               fidelity_series["eval_loss"], atol=0.15)
-    np.testing.assert_allclose(default_series["eval_accuracy"],
-                               fidelity_series["eval_accuracy"], atol=0.15)
+
+def test_rbg_stream_matches_threefry_envelope(tmp_path):
+    """rng_impl rbg vs threefry2x32 draw DIFFERENT (equally valid) dropout
+    masks, so trajectories legitimately differ — the assertion is
+    recipe-level equivalence, not step parity: both must drive the
+    learnable task to saturation, trigger the patience protocol, and
+    restore best weights of the same quality."""
+    cfg, params, feats, labels = _setup()
+    rbg_series, rbg_finals = _run(cfg, params, feats, labels, tmp_path,
+                                  "rbg")
+    tf_series, tf_finals = _run(cfg, params, feats, labels, tmp_path,
+                                "threefry", rng_impl="threefry2x32")
+
+    for series, finals in ((rbg_series, rbg_finals),
+                           (tf_series, tf_finals)):
+        assert len(series["train_loss"]) < 10, series   # early stop fired
+        assert finals["best_eval_accuracy"] >= 0.9      # task saturated
+    # decision-level equivalence of the RESTORED weights.  (best_eval_loss
+    # is deliberately NOT compared: best is selected on accuracy, so a run
+    # that first saturates accuracy in an early high-loss window locks a
+    # legitimately different loss value — an artifact of the protocol, not
+    # a numerics gap.)
+    np.testing.assert_allclose(rbg_finals["test_eval_accuracy"],
+                               tf_finals["test_eval_accuracy"], atol=0.1)
+    np.testing.assert_allclose(rbg_finals["best_eval_accuracy"],
+                               tf_finals["best_eval_accuracy"], atol=0.1)
