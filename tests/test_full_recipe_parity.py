@@ -18,6 +18,7 @@ strongest offline substitute for the BASELINE real-data configs (no MVSA/
 Twitter data ships in this environment)."""
 
 import copy
+import pytest
 import math
 
 import numpy as np
@@ -34,6 +35,8 @@ from vault_tpu.training.trainer import TrainArgs, Trainer
 
 from tests.hf_utils import DeterministicMultinomial, make_hf_bert, make_hf_vilt
 from tests.test_training_dynamics_parity import TorchVault
+
+pytestmark = pytest.mark.slow
 
 N_TRAIN, N_DEV, N_TEST = 32, 20, 20
 BATCH = 8

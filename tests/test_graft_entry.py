@@ -23,6 +23,7 @@ def test_entry_lowers_full_geometry():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
 

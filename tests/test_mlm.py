@@ -1,5 +1,6 @@
 """MLM masking + loss tests, and a descent check through VaultForMaskedLM."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_mlm_loss_matches_torch():
     assert abs(float(ours) - float(ref)) < 1e-6
 
 
+@pytest.mark.slow
 def test_mlm_descent():
     cfg = VaultConfig(
         vilt=tiny_vilt_config(image_size=32, patch_size=16, num_patch_tokens=6),

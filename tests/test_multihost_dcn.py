@@ -7,10 +7,13 @@ process boundary (SURVEY.md §2.8 communication-backend row; the reference
 has no distributed backend at all)."""
 
 import os
+import pytest
 import socket
 import subprocess
 import sys
 import textwrap
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

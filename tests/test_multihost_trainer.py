@@ -14,6 +14,8 @@ import pytest
 
 from vault_tpu.parallel.multihost import run_training, spawn_workers
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_two_process_trainer_matches_single_process(tmp_path):

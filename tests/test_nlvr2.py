@@ -1,5 +1,6 @@
 """NLVR2 dataset + images-and-text trainer end-to-end."""
 
+import pytest
 import json
 
 import numpy as np
@@ -41,6 +42,7 @@ def _make_data(tmp_path, n=6):
     return str(jsonl), str(img_dir)
 
 
+@pytest.mark.slow
 def test_nlvr2_dataset_and_trainer(tmp_path):
     jsonl, img_dir = _make_data(tmp_path)
     proc = VaultProcessor(WordPieceTokenizer(VOCAB), max_length=10,

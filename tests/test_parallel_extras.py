@@ -80,6 +80,7 @@ def test_pipeline_vault_matches_monolithic():
     assert out.last_hidden_state.shape == ref.last_hidden_state.shape
 
 
+@pytest.mark.slow
 def test_pipeline_train_grads_match_single_device():
     """The trainable 2-stage pipeline (reference PipelineVaultMixin is
     differentiable via torch autograd across its two devices,
@@ -217,6 +218,7 @@ def test_step_timer():
     assert s["steps"] == 5 and s["items_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_gspmd():
     """The explicit psum train step equals the GSPMD-annotated step."""
     import optax

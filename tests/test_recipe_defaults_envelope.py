@@ -16,6 +16,7 @@ test_full_recipe_parity.py covers step-for-step protocol parity.)"""
 
 import numpy as np
 import jax
+import pytest
 
 from vault_tpu.config import VaultConfig, tiny_text_config, tiny_vilt_config
 from vault_tpu.data.loader import InMemoryDataset
@@ -26,6 +27,8 @@ from vault_tpu.models.vault import (
 )
 from vault_tpu.training.experiment import ExperimentHandler
 from vault_tpu.training.trainer import TrainArgs, Trainer
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(n=48, seed=0):

@@ -1,6 +1,7 @@
 """Checkpoint/resume: a killed-and-restarted run continues mid-schedule and
 matches the uninterrupted run's final weights (same data order)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def _setup(n=16, seed=0):
     return cfg, params, apply_fn, feats, labels
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     cfg, params0, apply_fn, feats, labels = _setup()
     params0 = jax.device_get(params0)
@@ -73,6 +75,7 @@ def test_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sigkill_crash_recovery(tmp_path):
     """Failure recovery under a REAL crash (SURVEY §5: the reference has no
     recovery subsystem at all): a training process is SIGKILLed mid-run —

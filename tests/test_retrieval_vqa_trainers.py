@@ -39,6 +39,7 @@ def _processor():
                           canvas=(32, 32))
 
 
+@pytest.mark.slow
 def test_retrieval_trainer_end_to_end(tmp_path):
     cfg = _cfg()
     n = 6
@@ -73,6 +74,7 @@ def test_retrieval_trainer_end_to_end(tmp_path):
     assert results["image-R@10"] == 1.0
 
 
+@pytest.mark.slow
 def test_vqa_trainer_and_head(tmp_path):
     cfg = _cfg()
     rng = np.random.default_rng(0)

@@ -5,6 +5,7 @@ training with ``TrainArgs.merge_to`` must (a) produce finite-difference-
 correct grads, (b) descend like the unmerged dynamics proxy, and (c) be
 wired through the experiment CLI's TrainArgs plumbing."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,7 @@ def test_merge_step_grads_match_finite_differences():
         assert abs(fd - ad) <= 5e-2 * max(1.0, abs(fd), abs(ad)), (fd, ad)
 
 
+@pytest.mark.slow
 def test_merge_model_grads_match_finite_differences():
     """End-to-end: grads w.r.t. the classifier head through a merged
     forward (embed-time and mid-stack) vs central differences."""
@@ -95,6 +97,7 @@ def test_merge_model_grads_match_finite_differences():
         assert abs(fd - ad) <= 5e-2 * max(1.0, abs(fd), abs(ad)), (layer, fd, ad)
 
 
+@pytest.mark.slow
 def test_train_descends_with_merge():
     """Dynamics proxy: the same learnable toy task as
     test_train_descends_and_logs, trained THROUGH the merge (16 -> 7 patch

@@ -243,6 +243,7 @@ def test_tombert_from_bert_surgery():
         np.asarray(bert_params["layers"]["q"]["w"][0]))
 
 
+@pytest.mark.slow
 def test_tombert_with_resnet_end_to_end():
     cfg = tiny_text_config()
     params = init_tombert(jax.random.PRNGKey(0), cfg, vis_emb_dim=512,
@@ -296,6 +297,7 @@ def test_tomvilt_plain_vilt_mode():
     assert logits.shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_tombert_tied_target_tower():
     """tie_target_bert (reference tie_target_bert_weights kwarg,
     tombert/model.py:164-165): no target_bert subtree, the tweet tower

@@ -174,6 +174,7 @@ def test_train_descends_and_logs(tmp_path):
     assert "test_eval_accuracy" in handler._finals
 
 
+@pytest.mark.slow
 def test_dp_mesh_matches_single_device():
     cfg, params, apply_fn, feats, labels = _toy_setup()
     ds = InMemoryDataset(feats, labels)
@@ -202,6 +203,7 @@ def test_dp_mesh_matches_single_device():
         np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_uneven_batch_padding():
     cfg, params, apply_fn, feats, labels = _toy_setup(n=19)  # 19 % 8 != 0
     ds = InMemoryDataset(feats, labels)
@@ -249,6 +251,7 @@ def test_adamw_bf16_state_tracks_fp32():
     assert loss(trajs[False][0]) < loss(params)
 
 
+@pytest.mark.slow
 def test_remat_modes_same_grads():
     """remat=False / True / "dots" are pure memory/FLOP tradeoffs — the
     gradients must be identical."""
@@ -358,6 +361,7 @@ def test_discard_classifier_warm_start(tmp_path):
     assert "head" in restored  # fresh head kept
 
 
+@pytest.mark.slow
 def test_mixed_precision_training_descends():
     cfg, params, apply_fn, feats, labels = _toy_setup(n=32)
     ds = InMemoryDataset(feats, labels)
@@ -400,6 +404,7 @@ def test_hf_adamw_weight_decay_semantics():
     np.testing.assert_allclose(np.asarray(upd["w"]), expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_single_step():
     cfg, params, apply_fn, feats, labels = _toy_setup(n=16)
     ds = InMemoryDataset(feats, labels)
@@ -477,6 +482,7 @@ def test_load_reference_obj_pkl(tmp_path):
     assert h2._series == h._series and h2._finals == h._finals
 
 
+@pytest.mark.slow
 def test_zero_opt_sharding_matches_replicated():
     """ZeRO-1 (parallel/zero.py): AdamW m/v sharded 1/N over the data axis —
     update results must match the replicated-optimizer step exactly, and the
@@ -569,6 +575,7 @@ def test_adamw_int8_state_tracks_fp32():
                                       np.asarray(q8.q))
 
 
+@pytest.mark.slow
 def test_trainer_with_int8_opt_state():
     """End-to-end Trainer run with opt_state_dtype='int8': loss descends and
     checkpoint/resume keeps working."""
@@ -594,6 +601,7 @@ def test_trainer_with_int8_opt_state():
         assert int(tr.opt_state.count) > 0
 
 
+@pytest.mark.slow
 def test_trainer_with_rbg_rng():
     """rng_impl='rbg' (TPU hardware-friendly dropout PRNG, measured 467 vs
     441 pairs/s at full geometry) runs the full loop and trains."""
@@ -642,6 +650,7 @@ def test_adamw_bf16_grads_track_fp32():
     assert loss(trajs[True][0]) < loss(params)
 
 
+@pytest.mark.slow
 def test_trainer_grad_dtype_bf16_descends(tmp_path):
     """End-to-end Trainer run with grad_dtype=bfloat16: loss must descend."""
     cfg, params, apply_fn, feats, labels = _toy_setup()
@@ -661,6 +670,7 @@ def test_trainer_grad_dtype_bf16_descends(tmp_path):
     assert m[-1] < m[0]
 
 
+@pytest.mark.slow
 def test_trainer_profile_dir_writes_trace(tmp_path):
     """--profile_dir traces the second eval window (SURVEY.md §5 tracing —
     absent in the reference); the trace directory must contain a plugins/
@@ -683,6 +693,7 @@ def test_trainer_profile_dir_writes_trace(tmp_path):
     assert dumps, os.listdir(prof)
 
 
+@pytest.mark.slow
 def test_trainer_combined_throughput_flags_descend(tmp_path):
     """Interaction smoke for the throughput-lever combination: gradient
     accumulation x ZeRO-1 moment sharding x bf16 optimizer state x bf16
@@ -710,6 +721,7 @@ def test_trainer_combined_throughput_flags_descend(tmp_path):
     assert not mu_leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_grad_accum_partial_final_batch(tmp_path):
     """The final partial batch must pad to a multiple of grad_accum_steps
     (x dp) — previously the micro-batch reshape crashed mid-epoch whenever
@@ -728,6 +740,7 @@ def test_grad_accum_partial_final_batch(tmp_path):
     assert handler._series["train_loss"]
 
 
+@pytest.mark.slow
 def test_no_early_stopping_keeps_final_params(tmp_path):
     """patience=None must NOT snapshot/restore best weights: a run that
     ends off an eval-window boundary returns the LIVE final params (the
@@ -760,6 +773,7 @@ def test_no_early_stopping_keeps_final_params(tmp_path):
     assert max(diffs) > 0, "step 3's update was discarded by a stale restore"
 
 
+@pytest.mark.slow
 def test_resume_with_changed_eval_cadence(tmp_path):
     """Resuming from a checkpoint written under a different eval_steps (so
     start_step is off the new window grid) must open a fresh loss window,
