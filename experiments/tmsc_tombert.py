@@ -115,6 +115,14 @@ def parse_args():
     args = parser.parse_args()
     if getattr(args, "reps_short", None):
         args.reps = args.reps_short
+    if args.merge_to is not None:
+        # ToMe targets ViLT's ~200 patch tokens; TomBERT has no ViLT and
+        # TomViLT feeds ~max_target_length attended region tokens as
+        # image_embeds — silently ignoring the flag would let a user
+        # believe they trained with merging (clsf_vault.py threads it).
+        parser.error("--merge_to is not supported for the TomBERT/TomViLT "
+                     "families (no patch-token path to merge); use "
+                     "experiments/clsf_vault.py")
     return args
 
 

@@ -58,10 +58,12 @@ TRAINER_ARGS = dict(
                          "or a '+'-combo like fuseqkv+fusemlp+dotbatch"),
     no_remat=dict(action="store_true", help="disable encoder-layer rematerialization (remat is default: faster and fits bigger batches)"),
     merge_to=dict(default=None, type=int,
-                  help="trainable ToMe: merge patch tokens to this static "
-                       "count in every train/eval forward (ops/"
+                  help="trainable ToMe: merge ViLT patch tokens to this "
+                       "static count in every train/eval forward (ops/"
                        "token_merge.py; e.g. 87 halves the joint sequence "
-                       "at bench geometry). Default off"),
+                       "at bench geometry). VAuLT family only "
+                       "(clsf_vault.py); tmsc_tombert.py rejects it. "
+                       "Default off"),
     merge_at_layer=dict(default=0, type=int,
                         help="merge point: 0 = embeddings (max FLOP "
                              "savings), k>0 = after k encoder layers "

@@ -54,23 +54,6 @@ def bench_so(path):
     return {"resize_ms": round(r_ms, 3), "resize_normalize_ms": round(rn_ms, 3)}
 
 
-def bench_processor():
-    from vault_tpu.data.processor import VaultProcessor
-    from vault_tpu.models.pretrained import build_tokenizer
-
-    proc = VaultProcessor(build_tokenizer("bert-base-uncased"))
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
-    proc([img], ["a bunch of cats laying on a couch"])  # warm
-    ts = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        proc([img], ["a bunch of cats laying on a couch"])
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return round(ts[len(ts) // 2] * 1e3, 3)
-
-
 def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {"current": bench_so(os.path.join(here, "native",
@@ -78,7 +61,10 @@ def main():
     alt = os.environ.get("IC_ALT_SO")
     if alt:
         out["alt"] = bench_so(alt)
-    out["processor_pair_p50_ms"] = bench_processor()
+    # the full-pair number is bench.py's protocol, imported so the two
+    # stay comparable (same geometry/prompt/rep policy)
+    from bench import bench_host_preprocess
+    out["processor_pair_p50_ms"] = round(bench_host_preprocess(), 3)
     print(json.dumps(out))
 
 

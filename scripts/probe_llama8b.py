@@ -95,10 +95,12 @@ def main():
             "b": np.zeros((vilt_cfg.hidden_size,), np.float32)}
 
     def bf16(t):
+        # dtype check must not touch values: np.asarray(x) would fetch
+        # every leaf host-side through the tunnel just to read its dtype
         return jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and np.issubdtype(np.asarray(x).dtype,
-                                                     np.floating) else x, t)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, t)
 
     params = {"llama": llama, "vilt": bf16(vilt), "lm_proj": bf16(proj)}
     t0 = time.time()
@@ -156,8 +158,12 @@ def main():
         mem = {"hbm_stats_error": str(e)}
 
     # matmul FLOPs: llama tower 2*N_active*B*L (weight FLOPs; ~7.5e9
-    # matmul params/tok) + the vilt side's 861 GF at this geometry
+    # matmul params/tok) + the vilt side, scaled from bench.py's 861 GF
+    # batch-16 derivation (docs/BENCHMARKS.md "MFU accounting") — both
+    # terms must scale with BATCH or non-default LLAMA_BENCH_BATCH runs
+    # misreport the ViLT contribution
     llama_gf = 2 * 7.50e9 * BATCH * SEQ / 1e9
+    vilt_gf = 861 * BATCH / 16
     print(json.dumps({
         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
         "value": round(BATCH / per_step, 2),
@@ -165,7 +171,7 @@ def main():
         "ms_per_step": round(per_step * 1e3, 2),
         "batch": BATCH,
         "tower": "llama3-8B-geometry w8",
-        "approx_matmul_gflops_per_step": round(llama_gf + 861, 0),
+        "approx_matmul_gflops_per_step": round(llama_gf + vilt_gf, 0),
         **mem,
     }))
 

@@ -345,3 +345,15 @@ def test_frozen_lms_script_rehearsal(tmp_path):
     assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-3000:])
     run_dirs = os.listdir(os.path.join(logs, "VaultTMSCBloomberg"))
     assert len(run_dirs) == 2  # bert-base and bertweet variants
+
+
+def test_tmsc_tombert_rejects_merge_to(tmp_path):
+    """--merge_to must be rejected, not silently ignored: the TomBERT/
+    TomViLT families have no ViLT patch-token path, so accepting the flag
+    would let a user believe they trained with ToMe merging."""
+    data_dir = _make_twitter(tmp_path)
+    res = _run([sys.executable, "experiments/tmsc_tombert.py", "TomBERT",
+                "--dir", data_dir, "--train_split", "train",
+                "--merge_to", "87"], timeout=120)
+    assert res.returncode != 0
+    assert "--merge_to is not supported" in res.stderr
