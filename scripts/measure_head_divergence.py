@@ -17,13 +17,17 @@ budget (argmax flip rate / pairwise rank-inversion rate):
   * nlvr2     — VaultForImagesAndTextClassification 2-way: argmax flip rate
 
 Inputs are REAL photographs (the offline set of
-measure_merge_divergence.py) through the production VaultProcessor path.
+measure_merge_divergence.py, expanded 6x by production-path augmentations
+— hflip + relative_random_crop — to 24 distinct images x 2 text draws =
+48 decisions per pooled head, 24 NLVR2 pairs, 1128 rank orderings, 1920
+MLM token decisions; a 0/8 flip estimate alone would be consistent with a
+multi-percent true rate) through the production VaultProcessor path.
 Model is random-init base geometry (no pretrained checkpoints exist in
 this image): random-init logits sit closer to decision boundaries than a
 trained model's, so the flip rates here are a PESSIMISTIC proxy — a
 trained model with real margins flips less.
 
-Runs on CPU: python scripts/measure_head_divergence.py
+Runs on CPU (~12 min): python scripts/measure_head_divergence.py
 """
 
 import json
@@ -49,10 +53,32 @@ from vault_tpu.models.vault import (
 from vault_tpu.ops.quantize import quantize_model_params
 from vault_tpu.presets import vault_base
 
-from measure_merge_divergence import CANVAS, SEQ, real_photo_batch
+from measure_merge_divergence import CANVAS, SEQ, load_real_photos
 
-BATCH = 8          # 4 real photos x 2 texts each -> 28 rank pairs
+N_IMAGES = 24      # 4 real photos x 6 augmented variants
+BATCH = 48         # x 2 text draws each -> 1128 rank orderings
 VQA_CLASSES = 3129
+
+
+def augmented_photo_batch():
+    """24 distinct real images: each base photo plus hflip and
+    relative_random_crop variants (the production train-time augmentation,
+    data/image.py:88), through the production processor path."""
+    from vault_tpu.data.image import relative_random_crop
+    from vault_tpu.data.processor import VaultProcessor
+    from vault_tpu.models.pretrained import build_tokenizer
+
+    arng = np.random.default_rng(7)
+    images = []
+    for base in load_real_photos():
+        crops = [relative_random_crop(arng, base) for _ in range(3)]
+        images += [base, base[:, ::-1].copy(), crops[0], crops[1],
+                   crops[2], crops[0][:, ::-1].copy()]
+    assert len(images) == N_IMAGES
+    proc = VaultProcessor(build_tokenizer("bert-base-uncased"),
+                          canvas=CANVAS)
+    out = proc.encode_images(images)
+    return np.asarray(out[0], np.float32), np.asarray(out[1], np.int32)
 
 
 def flip_rate(a, b):
@@ -87,8 +113,8 @@ def main():
     }
 
     rng = np.random.default_rng(0)
-    px, pm = real_photo_batch()                       # (4, 3, H, W)
-    px = np.concatenate([px, px])                     # 4 photos x 2 texts
+    px, pm = augmented_photo_batch()                  # (24, 3, H, W)
+    px = np.concatenate([px, px])                     # 24 images x 2 texts
     pm = np.concatenate([pm, pm])
     batch = dict(
         input_ids=jnp.asarray(rng.integers(0, cfg.text_tower.vocab_size,
@@ -96,13 +122,14 @@ def main():
         attention_mask=jnp.ones((BATCH, SEQ), jnp.int32),
         token_type_ids=jnp.zeros((BATCH, SEQ), jnp.int32),
         pixel_values=jnp.asarray(px), pixel_mask=jnp.asarray(pm))
-    # NLVR2: 4 photo pairs (i, i+1 cyclic), each with its own modality slot
-    pair_px = np.stack([np.stack([px[i], px[(i + 1) % 4]]) for i in range(4)])
-    pair_pm = np.stack([np.stack([pm[i], pm[(i + 1) % 4]]) for i in range(4)])
+    # NLVR2: photo pairs (i, i+1 cyclic), each with its own modality slot
+    n = N_IMAGES
+    pair_px = np.stack([np.stack([px[i], px[(i + 1) % n]]) for i in range(n)])
+    pair_pm = np.stack([np.stack([pm[i], pm[(i + 1) % n]]) for i in range(n)])
     pair_text = dict(
-        input_ids=batch["input_ids"][:4],
-        attention_mask=batch["attention_mask"][:4],
-        token_type_ids=batch["token_type_ids"][:4])
+        input_ids=batch["input_ids"][:n],
+        attention_mask=batch["attention_mask"][:n],
+        token_type_ids=batch["token_type_ids"][:n])
 
     qp = {m: quantize_model_params(params, mode=m) for m in ("w8", "w8a8")}
     modes = {
@@ -142,15 +169,18 @@ def main():
         out = head_logits(p, kw)
         for head in ref:
             if head == "rank":
+                n_dec = BATCH * (BATCH - 1) // 2
                 decision = {"rank_inversion_rate":
                             round(inversion_rate(out[head], ref[head]), 4)}
             else:
+                n_dec = int(np.prod(np.asarray(ref[head]).shape[:-1]))
                 decision = {"argmax_flip_rate":
                             round(flip_rate(out[head], ref[head]), 4)}
             print(json.dumps({
                 "head": head, "mode": mode,
                 "logit_max_abs_diff":
                     round(float(np.abs(out[head] - ref[head]).max()), 4),
+                "n_decisions": n_dec,
                 **decision,
             }), flush=True)
 

@@ -73,13 +73,16 @@ def main():
                          "cost (duplicate-exact proportional attention; "
                          "measured numbers in docs/BENCHMARKS.md). "
                          "Composes with --quantize/--dp/--tp; not with --pp. "
-                         "Head validation (measure_head_divergence.py): "
-                         "pooled-classification heads (TMSC/VQA/NLVR2) show "
-                         "ZERO decision flips under --merge_to/--quantize "
-                         "and their composition; MLM top-1 and retrieval "
-                         "rank order move a few percent — for MLM prefer "
-                         "--merge_at_layer 4, for retrieval prefer "
-                         "--quantize over --merge_to")
+                         "Head validation (measure_head_divergence.py, "
+                         "random-init pessimistic proxy, n in parens): "
+                         "narrow pooled heads TMSC-3way (48) and NLVR2 "
+                         "(24) flip <=1 decision under every lever and "
+                         "composition; VQA's 3129-way argmax (48) and MLM "
+                         "top-1 (1920) move a few percent — prefer "
+                         "--merge_at_layer 4 for both and do NOT compose "
+                         "--quantize w8a8 with merge@0 for VQA; retrieval "
+                         "rank inversions (1128) stay <=1.6%, lowest "
+                         "under w8 or merge@4")
     ap.add_argument("--merge_at_layer", type=int, default=0,
                     help="WHERE to merge: 0 (default) merges raw embeddings "
                          "before the encoder (max savings); k > 0 merges "
