@@ -19,9 +19,10 @@ budget (argmax flip rate / pairwise rank-inversion rate):
 Inputs are REAL photographs (the offline set of
 measure_merge_divergence.py, expanded 6x by production-path augmentations
 — hflip + relative_random_crop — to 24 distinct images x 2 text draws =
-48 decisions per pooled head, 24 NLVR2 pairs, 1128 rank orderings, 1920
-MLM token decisions; a 0/8 flip estimate alone would be consistent with a
-multi-percent true rate) through the production VaultProcessor path.
+48 decisions per pooled head, 48 NLVR2 pairs (both orders), 1128 rank
+orderings, 1920 MLM token decisions; a 0/8 flip estimate alone would be
+consistent with a multi-percent true rate) through the production
+VaultProcessor path.
 Model is random-init base geometry (no pretrained checkpoints exist in
 this image): random-init logits sit closer to decision boundaries than a
 trained model's, so the flip rates here are a PESSIMISTIC proxy — a
@@ -122,14 +123,17 @@ def main():
         attention_mask=jnp.ones((BATCH, SEQ), jnp.int32),
         token_type_ids=jnp.zeros((BATCH, SEQ), jnp.int32),
         pixel_values=jnp.asarray(px), pixel_mask=jnp.asarray(pm))
-    # NLVR2: photo pairs (i, i+1 cyclic), each with its own modality slot
+    # NLVR2: photo pairs (i, i+1 cyclic) in BOTH orders (order matters —
+    # each slot gets its own modality-type row), 48 pair decisions
     n = N_IMAGES
-    pair_px = np.stack([np.stack([px[i], px[(i + 1) % n]]) for i in range(n)])
-    pair_pm = np.stack([np.stack([pm[i], pm[(i + 1) % n]]) for i in range(n)])
+    idx = [(i, (i + 1) % n) for i in range(n)] + \
+          [((i + 1) % n, i) for i in range(n)]
+    pair_px = np.stack([np.stack([px[a], px[b]]) for a, b in idx])
+    pair_pm = np.stack([np.stack([pm[a], pm[b]]) for a, b in idx])
     pair_text = dict(
-        input_ids=batch["input_ids"][:n],
-        attention_mask=batch["attention_mask"][:n],
-        token_type_ids=batch["token_type_ids"][:n])
+        input_ids=jnp.concatenate([batch["input_ids"][:n]] * 2),
+        attention_mask=jnp.concatenate([batch["attention_mask"][:n]] * 2),
+        token_type_ids=jnp.concatenate([batch["token_type_ids"][:n]] * 2))
 
     qp = {m: quantize_model_params(params, mode=m) for m in ("w8", "w8a8")}
     modes = {

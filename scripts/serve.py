@@ -76,7 +76,7 @@ def main():
                          "Head validation (measure_head_divergence.py, "
                          "random-init pessimistic proxy, n in parens): "
                          "narrow pooled heads TMSC-3way (48) and NLVR2 "
-                         "(24) flip <=1 decision under every lever and "
+                         "(48) flip <=1 decision under every lever and "
                          "composition; VQA's 3129-way argmax (48) and MLM "
                          "top-1 (1920) move a few percent — prefer "
                          "--merge_at_layer 4 for both and do NOT compose "
