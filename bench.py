@@ -233,7 +233,13 @@ def main():
     if not backend_available():
         # tunnel outage: emit the in-band outage record (still one JSON
         # line, parseable) instead of an uncaught backend traceback, with
-        # the newest recorded round value for context
+        # the newest recorded round value for context — plus the host
+        # preprocess leg, which is CPU-measurable even during an outage,
+        # so the record still carries one fresh number
+        try:
+            host_ms = round(bench_host_preprocess(), 2)
+        except Exception:
+            host_ms = None
         print(json.dumps({
             "metric": "vault_forward_pairs_per_sec_per_chip",
             "value": None,
@@ -241,6 +247,7 @@ def main():
             "vs_baseline": None,
             "error": "tpu_unavailable",
             "last_good": _last_recorded_bench(),
+            "p50_host_process_encode_ms": host_ms,
         }))
         return
     tpu_pps = bench_tpu()
