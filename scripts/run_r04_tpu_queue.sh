@@ -47,7 +47,15 @@ run w8a8_merge87L4 env PERF_SWEEP_IMPLS=fuselnqkv+fusemlp PERF_SWEEP_BATCHES=16 
 run train_control  env TRAIN_BENCH_BATCH=16 python scripts/train_bench.py
 run train_merge87  env TRAIN_BENCH_BATCH=16 TRAIN_BENCH_MERGE_TO=87 python scripts/train_bench.py
 
-# 3. BASELINE config 5 at honest scale: Llama-3-8B-geometry tower (w8) +
+# 3. batch-32 extension (serving throughput peaks at b32; train b32 is the
+#    single-chip high-water mark) — after the core A/Bs so a short tunnel
+#    window still completes the verdict items first
+run bf16_nomerge_b32   env PERF_SWEEP_IMPLS=1 PERF_SWEEP_BATCHES=32 python scripts/perf_sweep.py
+run bf16_merge87L4_b32 env PERF_SWEEP_IMPLS=1 PERF_SWEEP_BATCHES=32 PERF_SWEEP_MERGE_TO=87 PERF_SWEEP_MERGE_LAYER=4 python scripts/perf_sweep.py
+run train_control_b32  env TRAIN_BENCH_BATCH=32 python scripts/train_bench.py
+run train_merge87_b32  env TRAIN_BENCH_BATCH=32 TRAIN_BENCH_MERGE_TO=87 python scripts/train_bench.py
+
+# 4. BASELINE config 5 at honest scale: Llama-3-8B-geometry tower (w8) +
 #    ViLT co-encoder, one chip (LAST: biggest upload, longest compile)
 run llama8b python scripts/probe_llama8b.py
 
