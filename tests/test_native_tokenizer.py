@@ -90,3 +90,35 @@ def test_build_tokenizer_cased_heuristic(tmp_path):
     (d / "tokenizer_config.json").write_text(json.dumps(
         {"do_lower_case": True}))
     assert build_tokenizer(str(d)).basic.lowercase is True
+
+
+def test_native_matches_python_fuzz():
+    """Seeded property fuzz over the whole ASCII parity surface: random
+    printable strings (punctuation runs, long unknown words, mixed case,
+    whitespace runs) and a random larger vocab with ## continuations.
+    The native core must agree with the Python path on every input it
+    accepts (non-ASCII inputs return None and fall back — excluded by
+    construction here)."""
+    rng = np.random.default_rng(1234)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    pieces = ["".join(rng.choice(list(alpha), rng.integers(1, 6)))
+              for _ in range(120)]
+    vocab_tokens = (["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + pieces[:60]
+                    + ["##" + p for p in pieces[60:]])
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(vocab_tokens))}
+    tok = WordPieceTokenizer(vocab)
+    nat = NativeWordPiece(vocab, vocab["[UNK]"], lowercase=True)
+    assert nat.available
+
+    charset = list(alpha + alpha.upper() + "0123456789" +
+                   "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ \t\n")
+    checked = 0
+    for _ in range(500):
+        n = int(rng.integers(0, 60))
+        text = "".join(rng.choice(charset, n))
+        ids_c = nat.tokenize_to_ids(text)
+        assert ids_c is not None, text  # all-ASCII must not fall back
+        ids_py = tok.convert_tokens_to_ids(tok.tokenize(text))
+        assert ids_c == ids_py, (repr(text), ids_c, ids_py)
+        checked += 1
+    assert checked == 500
