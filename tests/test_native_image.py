@@ -79,3 +79,17 @@ def test_noncontiguous_input_ok():
     ref = np.asarray(Image.fromarray(np.ascontiguousarray(view))
                      .resize((128, 96), Image.BICUBIC))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_resize_bit_exact_vs_pil_fuzz():
+    """Seeded geometry fuzz: 60 random (in, out) size pairs spanning
+    up/down-scales, extreme aspect ratios and off-by-one sizes must all
+    stay BIT-identical to PIL's fixed-point bicubic."""
+    rng = np.random.default_rng(99)
+    for _ in range(60):
+        h, w = int(rng.integers(4, 700)), int(rng.integers(4, 700))
+        oh, ow = int(rng.integers(4, 640)), int(rng.integers(4, 640))
+        src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(src).resize((ow, oh), Image.BICUBIC))
+        out = native_image.resize_rgb8_native(src, (oh, ow))
+        np.testing.assert_array_equal(out, ref, err_msg=f"{(h, w, oh, ow)}")
