@@ -38,7 +38,11 @@ MERGE_TO = (int(os.environ["TRAIN_BENCH_MERGE_TO"])
             if os.environ.get("TRAIN_BENCH_MERGE_TO") else None)
 MERGE_LAYER = int(os.environ.get("TRAIN_BENCH_MERGE_LAYER", "0"))
 SEQ = 40
-CANVAS = (384, 608)
+# TRAIN_BENCH_CANVAS=64,64 shrinks the pixel canvas so every env-flag
+# combination can be CPU-smoked before spending a ~6-min tunnel compile
+# on it (tests/test_bench_scripts_smoke.py)
+CANVAS = tuple(int(v) for v in
+               os.environ.get("TRAIN_BENCH_CANVAS", "384,608").split(","))
 K_LO, K_HI = 2, 8
 
 

@@ -1,0 +1,57 @@
+"""CPU smoke of the TPU bench scripts' env-flag combinations — exactly the
+legs scripts/run_r04_tpu_queue.sh runs. A flag typo or a broken
+composition (quant x merge, merge in the train step) must fail HERE in
+seconds, not after a ~6-minute tunnel compile inside a scarce TPU window.
+Tiny canvas; merge_to=3 so merging actually fires on the 2x2 patch grid."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, env_overrides, timeout=900):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.update(env_overrides)
+    res = subprocess.run([sys.executable, script], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=timeout)
+    assert res.returncode == 0, (env_overrides, res.stdout[-2000:],
+                                 res.stderr[-3000:])
+    lines = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+    assert lines, (env_overrides, res.stdout[-2000:])
+    return [json.loads(ln) for ln in lines]
+
+
+@pytest.mark.parametrize("extra", [
+    {},
+    {"TRAIN_BENCH_MERGE_TO": "3"},
+    {"TRAIN_BENCH_MERGE_TO": "3", "TRAIN_BENCH_MERGE_LAYER": "4"},
+], ids=["control", "merge", "merge_at_4"])
+def test_train_bench_queue_legs(extra):
+    out = _run("scripts/train_bench.py",
+               {"TRAIN_BENCH_BATCH": "2", "TRAIN_BENCH_CANVAS": "64,64",
+                **extra})
+    assert out[-1]["value"] > 0
+
+
+@pytest.mark.parametrize("extra", [
+    {"PERF_SWEEP_IMPLS": "1"},
+    {"PERF_SWEEP_IMPLS": "fuselnqkv+fusemlp", "PERF_SWEEP_QUANT": "w8a8",
+     "PERF_SWEEP_MERGE_TO": "3"},
+    {"PERF_SWEEP_IMPLS": "1", "PERF_SWEEP_MERGE_TO": "3",
+     "PERF_SWEEP_MERGE_LAYER": "4"},
+], ids=["bf16_control", "w8a8_merge", "merge_at_4"])
+def test_perf_sweep_queue_legs(extra):
+    out = _run("scripts/perf_sweep.py",
+               {"PERF_SWEEP_CANVAS": "64,64", "PERF_SWEEP_BATCHES": "2",
+                **extra})
+    assert out[-1]["pairs_per_sec"] > 0
