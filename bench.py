@@ -119,21 +119,14 @@ def bench_tpu():
         "pixel_mask": jnp.asarray(_pixel_mask(np, BATCH)),
     }
 
-    def chained(params, batch, k):
-        # k is a traced scalar -> ONE compilation serves every iteration count
-        def body(_, carry):
-            feedback, _ = carry
-            b = dict(batch)
-            # true data dependency on the previous iteration's output
-            b["pixel_values"] = batch["pixel_values"] + feedback
-            out = vault_apply(params, cfg, **b).pooler_output
-            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
+    # every input must be loop-carried or XLA hoists its consumers out of
+    # the timing loop — rounds 1-3 fed back pixel_values only and the
+    # whole text tower was hoisted (vault_tpu/utils/benchloop.py)
+    from vault_tpu.utils.benchloop import make_chained_forward
 
-        import jax.lax as lax
-        init = (jnp.zeros((), jnp.bfloat16),
-                jnp.zeros((BATCH, cfg.vilt.hidden_size), jnp.bfloat16))
-        _, out = lax.fori_loop(0, k, body, init)
-        return out
+    chained = make_chained_forward(
+        lambda p, b: vault_apply(p, cfg, **b).pooler_output,
+        (BATCH, cfg.vilt.hidden_size))
 
     import jax
     run = jax.jit(chained)
@@ -283,6 +276,14 @@ def main():
     if retried:
         out["retried"] = True
         out["first_attempt"] = round(first_attempt, 2)
+    # physical-sanity guard: a reading above the chip's peak means the
+    # measurement excluded work (e.g. loop-invariant hoisting, the round-4
+    # bug benchloop.py documents) — flag it in-band, never record silently
+    if out["fwd_mfu_pct"] > 95:
+        out["suspect"] = "implied MFU exceeds plausible peak"
+        print(f"WARNING: fwd_mfu_pct={out['fwd_mfu_pct']} is implausible; "
+              "part of the model was likely optimized out of the timing "
+              "loop", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from vault_tpu.models.vault import init_vault, vault_apply
 from vault_tpu.presets import vault_base
+from vault_tpu.utils.benchloop import make_chained_forward
 
 SEQ = 40
 CANVAS = tuple(int(v) for v in
@@ -44,20 +45,14 @@ def measure(cfg, params, batch_size, use_pallas):
         "pixel_mask": jnp.ones((batch_size, *CANVAS), jnp.int32),
     }
 
-    def chained(params, batch, k):
-        def body(_, carry):
-            feedback, _ = carry
-            b = dict(batch)
-            b["pixel_values"] = batch["pixel_values"] + feedback
-            out = vault_apply(params, cfg, use_pallas=use_pallas,
-                              merge_patches_to=MERGE_TO,
-                              merge_at_layer=MERGE_LAYER, **b).pooler_output
-            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
-
-        init = (jnp.zeros((), jnp.bfloat16),
-                jnp.zeros((batch_size, cfg.vilt.hidden_size), jnp.bfloat16))
-        _, out = jax.lax.fori_loop(0, k, body, init)
-        return out
+    # all inputs loop-carried, incl. the text side — see
+    # vault_tpu/utils/benchloop.py for the hoisting hazard this closes
+    chained = make_chained_forward(
+        lambda p, b: vault_apply(p, cfg, use_pallas=use_pallas,
+                                 merge_patches_to=MERGE_TO,
+                                 merge_at_layer=MERGE_LAYER,
+                                 **b).pooler_output,
+        (batch_size, cfg.vilt.hidden_size))
 
     run = jax.jit(chained)
     np.asarray(run(params, batch, jnp.int32(1)))

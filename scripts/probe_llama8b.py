@@ -32,10 +32,12 @@ from vault_tpu.config import ViltConfig
 from vault_tpu.models.llama import LlamaConfig
 from vault_tpu.models.vault import vault_with_llama_tower
 from vault_tpu.models.vilt import init_vilt
+from vault_tpu.utils.benchloop import make_chained_forward
 
 BATCH = int(os.environ.get("LLAMA_BENCH_BATCH", 16))
 SEQ = 40
-CANVAS = (384, 608)
+CANVAS = tuple(int(v) for v in
+               os.environ.get("LLAMA_BENCH_CANVAS", "384,608").split(","))
 K_LO, K_HI = 2, 6
 
 
@@ -79,7 +81,15 @@ def build_llama_w8(cfg: LlamaConfig, seed=0):
 
 
 def main():
-    llama_cfg = LlamaConfig()           # Llama-3-8B geometry
+    if os.environ.get("LLAMA_BENCH_TINY") == "1":
+        # CPU smoke of the exact probe code path (flag combos, the chained
+        # loop, the JSON shape) at toy geometry — tests/
+        # test_bench_scripts_smoke.py runs this before a tunnel window is
+        # spent on the real 8B compile
+        from vault_tpu.models.llama import tiny_llama_config
+        llama_cfg = tiny_llama_config(vocab_size=512)
+    else:
+        llama_cfg = LlamaConfig()       # Llama-3-8B geometry
     vilt_cfg = ViltConfig()
 
     t0 = time.time()
@@ -119,19 +129,14 @@ def main():
         "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
     }
 
-    def chained(params, batch, k):
-        def body(_, carry):
-            feedback, _ = carry
-            b = dict(batch)
-            b["pixel_values"] = batch["pixel_values"] + feedback
-            out = vault_with_llama_tower(
-                params, vilt_cfg, llama_cfg, **b).pooler_output
-            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
-
-        init = (jnp.zeros((), jnp.bfloat16),
-                jnp.zeros((BATCH, vilt_cfg.hidden_size), jnp.bfloat16))
-        _, out = jax.lax.fori_loop(0, k, body, init)
-        return out
+    # all inputs loop-carried: the first run of this probe fed back only
+    # pixel_values and XLA hoisted the ENTIRE 8B text tower out of the
+    # loop, reporting a physically impossible 6.91 ms/step (>= 24 ms at
+    # int8 peak) — vault_tpu/utils/benchloop.py documents the hazard
+    chained = make_chained_forward(
+        lambda p, b: vault_with_llama_tower(
+            p, vilt_cfg, llama_cfg, **b).pooler_output,
+        (BATCH, vilt_cfg.hidden_size))
 
     run = jax.jit(chained)
     t0 = time.time()
@@ -148,14 +153,20 @@ def main():
 
     per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
 
-    mem = {}
+    # param-tree footprint from array metadata (no value fetch): the floor
+    # of HBM in use, reported even when the tunnel backend returns no
+    # memory_stats (the first run came back with all-null hbm fields)
+    mem = {"params_bytes": int(sum(x.nbytes for x in jax.tree.leaves(params)
+                                   if hasattr(x, "nbytes")))}
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        mem = {"hbm_bytes_in_use": stats.get("bytes_in_use"),
-               "hbm_peak_bytes": stats.get("peak_bytes_in_use"),
-               "hbm_limit_bytes": stats.get("bytes_limit")}
+        mem.update({"hbm_bytes_in_use": stats.get("bytes_in_use"),
+                    "hbm_peak_bytes": stats.get("peak_bytes_in_use"),
+                    "hbm_limit_bytes": stats.get("bytes_limit")})
+        if not stats:
+            mem["hbm_stats_note"] = "backend returned no memory_stats"
     except Exception as e:  # tunnel backends may not expose stats
-        mem = {"hbm_stats_error": str(e)}
+        mem["hbm_stats_error"] = str(e)
 
     # matmul FLOPs: llama tower 2*N_active*B*L (weight FLOPs; ~7.5e9
     # matmul params/tok) + the vilt side, scaled from bench.py's 861 GF
@@ -164,6 +175,16 @@ def main():
     # misreport the ViLT contribution
     llama_gf = 2 * 7.50e9 * BATCH * SEQ / 1e9
     vilt_gf = 861 * BATCH / 16
+    implied_tflops = (llama_gf + vilt_gf) / per_step / 1e3
+    # physical-sanity guard: the tower is w8 so the relevant ceiling is
+    # the v5e int8 peak (394 TOPS); an implied rate above it means work
+    # was optimized out of the loop (exactly the first run's failure mode)
+    int8_peak = float(os.environ.get("VAULT_INT8_PEAK_TOPS", "394"))
+    suspect = implied_tflops > int8_peak
+    if suspect:
+        print(f"WARNING: implied {implied_tflops:.0f} TFLOP/s exceeds the "
+              f"{int8_peak:.0f} TOPS int8 peak — part of the model was "
+              "optimized out of the timing loop", file=sys.stderr)
     print(json.dumps({
         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
         "value": round(BATCH / per_step, 2),
@@ -172,6 +193,8 @@ def main():
         "batch": BATCH,
         "tower": "llama3-8B-geometry w8",
         "approx_matmul_gflops_per_step": round(llama_gf + vilt_gf, 0),
+        "implied_tflops_per_sec": round(implied_tflops, 1),
+        **({"suspect": "implied rate exceeds int8 peak"} if suspect else {}),
         **mem,
     }))
 

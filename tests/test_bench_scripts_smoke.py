@@ -55,3 +55,13 @@ def test_perf_sweep_queue_legs(extra):
                {"PERF_SWEEP_CANVAS": "64,64", "PERF_SWEEP_BATCHES": "2",
                 **extra})
     assert out[-1]["pairs_per_sec"] > 0
+
+
+def test_llama_probe_leg():
+    out = _run("scripts/probe_llama8b.py",
+               {"LLAMA_BENCH_TINY": "1", "LLAMA_BENCH_BATCH": "2",
+                "LLAMA_BENCH_CANVAS": "64,64"})
+    rec = out[-1]
+    assert rec["value"] > 0
+    assert rec["params_bytes"] > 0
+    assert "implied_tflops_per_sec" in rec
