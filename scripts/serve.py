@@ -70,8 +70,11 @@ def main():
                          "merge the patch tokens down to N before the "
                          "co-encoder — 87 makes the joint sequence 128 and "
                          "~halves co-encoder FLOPs at a small accuracy "
-                         "cost (duplicate-exact proportional attention; "
-                         "measured numbers in docs/BENCHMARKS.md). "
+                         "cost (duplicate-exact proportional attention). "
+                         "Measured batch-16 v5e throughput "
+                         "(docs/BENCHMARKS.md): bf16 2042 -> 3429 pairs/s "
+                         "at merge@0 (1.68x), 3075 at merge@4; composed "
+                         "with --quantize w8a8: 3566 (the fastest config). "
                          "Composes with --quantize/--dp/--tp; not with --pp. "
                          "Head validation (measure_head_divergence.py, "
                          "random-init pessimistic proxy, n in parens): "
