@@ -73,6 +73,33 @@ def probe_backend(timeout_s: float) -> bool:
         return False
 
 
+def hlo_structure_check():
+    """Pre-timing structural guard (scripts/check_bench_hlo.py): compile
+    the bench's chained-program structure on CPU and verify no matmul was
+    hoisted out of the timing while.  The 95%-MFU guard below cannot catch
+    a ~13%-scale exclusion — exactly the rounds-1-3 text-tower hoist — so
+    this is the detector that actually covers that failure mode.  Returns
+    the parsed {"ok", "inside", "outside"} record, or None if the check
+    itself could not run (never blocks the bench).  Gate:
+    VAULT_BENCH_HLO_CHECK=0 skips."""
+    import subprocess
+
+    if os.environ.get("VAULT_BENCH_HLO_CHECK", "1") == "0":
+        return None
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "check_bench_hlo.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # force the CPU backend
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        r = subprocess.run([sys.executable, script], env=env,
+                           capture_output=True, text=True, timeout=600)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"hlo structure check did not run: {e}", file=sys.stderr)
+        return None
+
+
 def backend_available() -> bool:
     """Bounded-retry probe.  Keeps the bench from ever dying with a raw
     traceback on a tunnel outage (BENCH_r03 was exactly that): a dead
@@ -243,6 +270,11 @@ def main():
             "p50_host_process_encode_ms": host_ms,
         }))
         return
+    hlo = hlo_structure_check()
+    if hlo is not None and not hlo.get("ok"):
+        print(f"WARNING: {hlo.get('outside')} matmul-bearing ops sit "
+              "OUTSIDE the timing loop (loop-invariant hoisting) — the "
+              "reading below excludes part of the model", file=sys.stderr)
     tpu_pps = bench_tpu()
     # tunnel-flake guard: if this reading is >10% below the last recorded
     # round's value, measure once more and report BOTH readings in-band so a
@@ -276,11 +308,16 @@ def main():
     if retried:
         out["retried"] = True
         out["first_attempt"] = round(first_attempt, 2)
+    if hlo is not None and not hlo.get("ok"):
+        out["suspect"] = (f"{hlo.get('outside')} matmuls hoisted outside "
+                          "the timing loop")
+        out["hlo_matmuls_outside_loop"] = hlo.get("outside")
     # physical-sanity guard: a reading above the chip's peak means the
     # measurement excluded work (e.g. loop-invariant hoisting, the round-4
     # bug benchloop.py documents) — flag it in-band, never record silently
     if out["fwd_mfu_pct"] > 95:
-        out["suspect"] = "implied MFU exceeds plausible peak"
+        out["suspect"] = "; ".join(filter(None, [
+            out.get("suspect"), "implied MFU exceeds plausible peak"]))
         print(f"WARNING: fwd_mfu_pct={out['fwd_mfu_pct']} is implausible; "
               "part of the model was likely optimized out of the timing "
               "loop", file=sys.stderr)

@@ -133,6 +133,71 @@ def test_full_feedback_defeats_loop_invariant_hoisting():
         f"{fixed_slope * 1e3:.1f} ms: hoisting no longer observed")
 
 
+def test_matmul_loop_placement_on_toy_program():
+    """The structural HLO guard: every dot must sit inside the TIMING
+    while.  The buggy rounds-1-3 pattern hoists the text branch's scan to
+    an entry-level sibling while — the walker must count those dots as
+    OUTSIDE (a naive 'reachable from any while body' walk counts them as
+    inside and guards nothing)."""
+    from vault_tpu.utils.benchloop import matmul_loop_placement
+
+    params, batch, apply_fn = _toy_model()
+    fixed = jax.jit(make_chained_forward(apply_fn, (BATCH, N)))
+    txt = fixed.lower(params, batch, jnp.int32(2)).compile().as_text()
+    inside, outside = matmul_loop_placement(txt)
+    assert outside == 0 and inside > 0, (inside, outside)
+
+    def buggy(params, batch, k):
+        def body(_, carry):
+            fb, _ = carry
+            b = dict(batch)
+            b["pixel_values"] = batch["pixel_values"] + fb.astype(jnp.float32)
+            out = apply_fn(params, b)
+            return ((out[0, 0] * 1e-9).astype(jnp.bfloat16), out)
+
+        init = (jnp.zeros((), jnp.bfloat16),
+                jnp.zeros((BATCH, N), jnp.bfloat16))
+        _, out = jax.lax.fori_loop(0, k, body, init)
+        return out
+
+    txt = (jax.jit(buggy).lower(params, batch, jnp.int32(2))
+           .compile().as_text())
+    inside_b, outside_b = matmul_loop_placement(txt)
+    assert outside_b > 0, (
+        "the buggy pattern was not flagged — either XLA stopped hoisting "
+        f"(check the timing test above) or the walker regressed: "
+        f"inside={inside_b} outside={outside_b}")
+
+
+def test_check_bench_hlo_script():
+    """The bench.py pre-timing guard end-to-end: the REAL chained VAuLT
+    program structure (scripts/check_bench_hlo.py) must pass with
+    feedback_batch engaged and FAIL when the feedback is bypassed —
+    committed form of the round-4 audit's ad-hoc HLO walk
+    (docs/BENCHMARKS.md: 18 matmul-bearing ops in-loop, buggy keeps 10)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "check_bench_hlo.py")
+
+    def run(**extra):
+        env = {**os.environ, "BENCH_HLO_TINY": "1", **extra}
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run([sys.executable, script], env=env,
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    good = run()
+    assert good["ok"] and good["outside"] == 0 and good["inside"] > 0, good
+    bad = run(BENCH_HLO_BUGGY="1")
+    assert not bad["ok"] and bad["outside"] > 0, bad
+
+
 def test_make_chained_forward_output_matches_single_forward():
     params, batch, apply_fn = _toy_model()
     chained = jax.jit(make_chained_forward(apply_fn, (BATCH, N)))
