@@ -91,6 +91,11 @@ def main():
                          "before the encoder (max savings); k > 0 merges "
                          "after k encoder layers on contextualized tokens — "
                          "much lower divergence for (12-k)/12 of the savings")
+    ap.add_argument("--force", action="store_true",
+                    help="serve a measured-bad lever composition anyway "
+                         "(vault_tpu/serving.py check_serving_composition; "
+                         "e.g. w8a8 + merge@0 on a wide head flipped 16.7% "
+                         "of VQA decisions on the real-photo proxy)")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "
@@ -149,6 +154,21 @@ def main():
             ap.error(f"--quantize {mode} conflicts with the checkpoint, "
                      f"which stores {ckpt_mode} params")
         mode = mode or ckpt_mode
+
+    # measured-bad composition guard (docs/BENCHMARKS.md head table):
+    # refuse red combinations unless --force; always print the warnings
+    from vault_tpu.serving import check_serving_composition
+
+    refusals, comp_warnings = check_serving_composition(
+        args.n_classes, mode, args.merge_to, args.merge_at_layer)
+    for w in comp_warnings:
+        print(f"WARNING: {w}", file=sys.stderr)
+    if refusals and not args.force:
+        for r in refusals:
+            print(f"REFUSING: {r}", file=sys.stderr)
+        raise SystemExit(2)
+    for r in refusals:
+        print(f"WARNING (forced): {r}", file=sys.stderr)
 
     def cast_bf16(tree):
         return jax.tree.map(

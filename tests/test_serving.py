@@ -277,3 +277,48 @@ def test_quantize_ckpt_cli(tmp_path):
     got = restore_checkpoint(out, {"params": want})["params"]
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_check_serving_composition_budgets():
+    """The measured-bad composition guard (docs/BENCHMARKS.md head table):
+    wide-argmax heads in the 16.7%-VQA-flip regime must REFUSE; single
+    levers on wide heads warn; narrow pooled heads (<=1/48 flips measured)
+    stay silent under every composition."""
+    from vault_tpu.serving import check_serving_composition
+
+    # the red regime: wide head + w8a8 + merge@0
+    refusals, warnings = check_serving_composition(3129, "w8a8", 87, 0)
+    assert refusals and not warnings
+    # merge@4 defuses it (2.1% measured)
+    refusals, warnings = check_serving_composition(3129, "w8a8", 87, 4)
+    assert not refusals
+    # single levers on a wide head: warn, don't refuse
+    refusals, warnings = check_serving_composition(3129, None, 87, 0)
+    assert not refusals and warnings
+    refusals, warnings = check_serving_composition(3129, "w8a8", None, 0)
+    assert not refusals and warnings
+    # narrow heads measured robust under everything
+    for n in (2, 3):
+        assert check_serving_composition(n, "w8a8", 87, 0) == ([], [])
+    # quantize=None merge=None: silent
+    assert check_serving_composition(3129, None, None, 0) == ([], [])
+
+
+def test_serve_cli_refuses_measured_bad_composition():
+    """scripts/serve.py must exit non-zero (without --force) when asked to
+    serve the measured-bad wide-head w8a8+merge@0 composition — the
+    VERDICT r4 #4 runtime guard, not just --help advice."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "scripts/serve.py", "--debug_tiny",
+         "--n_classes", "3129", "--quantize", "w8a8", "--merge_to", "8",
+         "--merge_at_layer", "0"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 2, (res.returncode, res.stderr[-2000:])
+    assert "REFUSING" in res.stderr and "16.7%" in res.stderr

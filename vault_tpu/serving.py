@@ -33,6 +33,48 @@ import jax
 import jax.numpy as jnp
 
 
+# measured-bad composition guard (docs/BENCHMARKS.md head-divergence
+# table, scripts/measure_head_divergence.py): narrow pooled heads (TMSC
+# 3-way, NLVR2 2-way) flipped <=1 of 48 decisions under every lever, but a
+# WIDE argmax (VQA's 3129-way) leaves tiny margins — 16.7% of decisions
+# flipped under w8a8+merge@0 on the real-photo proxy.  Anything with
+# >= WIDE_HEAD_CLASSES outputs is treated as that regime.
+WIDE_HEAD_CLASSES = 100
+
+
+def check_serving_composition(n_classes: int, quantize: Optional[str],
+                              merge_to: Optional[int],
+                              merge_at_layer: int = 0):
+    """Validate a (head width, quantize, merge) serving composition against
+    the measured divergence budgets.  Returns (refusals, warnings) — lists
+    of human-readable strings.  A non-empty ``refusals`` means the
+    composition is measured-bad and the server must not start without an
+    explicit --force (VERDICT r4 #4: known-bad compositions were advisory
+    only; this repo's standard is loud runtime post-conditions)."""
+    refusals, warnings = [], []
+    wide = n_classes >= WIDE_HEAD_CLASSES
+    merged_at_0 = merge_to is not None and merge_at_layer == 0
+    if wide and quantize == "w8a8" and merged_at_0:
+        refusals.append(
+            f"composing --quantize w8a8 with --merge_to {merge_to} at "
+            f"--merge_at_layer 0 on a wide ({n_classes}-way) head flipped "
+            "16.7% of VQA decisions on the measured real-photo proxy "
+            "(docs/BENCHMARKS.md head table); use --merge_at_layer 4, drop "
+            "one lever, or pass --force to serve it anyway")
+    elif wide and merged_at_0:
+        warnings.append(
+            f"--merge_to {merge_to} at layer 0 on a wide ({n_classes}-way) "
+            "head measured a 4.2% decision-flip rate on the random-init "
+            "proxy; --merge_at_layer 4 halves it (2.1%) for 2/3 of the "
+            "speedup (docs/BENCHMARKS.md)")
+    elif wide and quantize == "w8a8":
+        warnings.append(
+            f"--quantize w8a8 on a wide ({n_classes}-way) head measured a "
+            "6.2% decision-flip rate on the random-init proxy; prefer w8 "
+            "or --merge_to with --merge_at_layer 4 (docs/BENCHMARKS.md)")
+    return refusals, warnings
+
+
 def dp_sharded_forward(apply_fn: Callable, mesh, params) -> Callable:
     """Data-parallel serving forward over a mesh "data" axis.
 
