@@ -12,9 +12,12 @@ would need 32 GB), then placed once; the jitted step takes the param
 tree as an argument (tunnel gotcha: closed-over trees bake into the HLO
 and 413 the compile relay).
 
-Slope-timed like bench.py.  Prints one JSON line with pairs/s, ms/step,
-and per-device HBM stats.  Run on the TPU: python scripts/probe_llama8b.py
-(expect the ~6 min remote compile; serialize with other TPU jobs).
+Slope-timed like bench.py.  Prints one JSON line per mode with pairs/s,
+ms/step, and per-device HBM stats; LLAMA_BENCH_QUANT=both additionally
+prints a w8a8-vs-w8 record (speedup + pooled-output divergence from the
+same int8 weights — the a8 activation-quant effect in isolation).  Run on
+the TPU: python scripts/probe_llama8b.py (expect the ~6 min remote
+compile per mode; serialize with other TPU jobs).
 """
 
 import json
@@ -39,6 +42,19 @@ SEQ = 40
 CANVAS = tuple(int(v) for v in
                os.environ.get("LLAMA_BENCH_CANVAS", "384,608").split(","))
 K_LO, K_HI = 2, 6
+# LLAMA_BENCH_QUANT: "w8" (default; weight-only int8, bf16 matmuls),
+# "w8a8" (activations row-quantized too -> int8 x int8 on the MXU's
+# double-rate path), or "both" — time BOTH modes from the SAME int8
+# arrays in one session (the w8a8 tree is a host-side re-keying of the
+# w8 tree: w_q -> w_q8 selects the int8-matmul path in ops/nn.linear via
+# jit-static tree structure, zero extra HBM) and report the pooled-output
+# divergence between them (same inputs, k=1 through the chained program).
+# The r4 verdict's last big perf lever: the w8 tower measured 56.43
+# ms/step at ~94% of the bf16 matmul peak — compute-bound, so int8
+# double-rate is the remaining headroom (expect ~1.5-1.9x).
+QUANT = os.environ.get("LLAMA_BENCH_QUANT", "w8")
+if QUANT not in ("w8", "w8a8", "both"):
+    raise SystemExit(f"LLAMA_BENCH_QUANT={QUANT!r}: use w8, w8a8, or both")
 
 
 def _np_quant_linear(rng, in_dim, out_dim):
@@ -129,6 +145,17 @@ def main():
         "pixel_mask": jnp.ones((BATCH, *CANVAS), jnp.int32),
     }
 
+    def rekey_w8a8(tree):
+        """w8 -> w8a8 param view: same int8/scale device arrays, the
+        linear dicts re-keyed w_q -> w_q8 (ops/nn.linear dispatches on the
+        jit-static tree structure, so this flips every tower matmul to the
+        int8 x int8 MXU path with ZERO extra HBM — both modes cannot
+        otherwise fit on one chip for a same-session A/B)."""
+        if isinstance(tree, dict):
+            return {("w_q8" if k == "w_q" else k): rekey_w8a8(v)
+                    for k, v in tree.items()}
+        return tree
+
     # all inputs loop-carried: the first run of this probe fed back only
     # pixel_values and XLA hoisted the ENTIRE 8B text tower out of the
     # loop, reporting a physically impossible 6.91 ms/step (>= 24 ms at
@@ -137,36 +164,7 @@ def main():
         lambda p, b: vault_with_llama_tower(
             p, vilt_cfg, llama_cfg, **b).pooler_output,
         (BATCH, vilt_cfg.hidden_size))
-
     run = jax.jit(chained)
-    t0 = time.time()
-    np.asarray(run(params, batch, jnp.int32(1)))
-    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    def timed(k):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(run(params, batch, jnp.int32(k)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
-
-    # param-tree footprint from array metadata (no value fetch): the floor
-    # of HBM in use, reported even when the tunnel backend returns no
-    # memory_stats (the first run came back with all-null hbm fields)
-    mem = {"params_bytes": int(sum(x.nbytes for x in jax.tree.leaves(params)
-                                   if hasattr(x, "nbytes")))}
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        mem.update({"hbm_bytes_in_use": stats.get("bytes_in_use"),
-                    "hbm_peak_bytes": stats.get("peak_bytes_in_use"),
-                    "hbm_limit_bytes": stats.get("bytes_limit")})
-        if not stats:
-            mem["hbm_stats_note"] = "backend returned no memory_stats"
-    except Exception as e:  # tunnel backends may not expose stats
-        mem["hbm_stats_error"] = str(e)
 
     # matmul FLOPs: llama tower 2*N_active*B*L (weight FLOPs; ~7.5e9
     # matmul params/tok) + the vilt side, scaled from bench.py's 861 GF
@@ -175,28 +173,82 @@ def main():
     # misreport the ViLT contribution
     llama_gf = 2 * 7.50e9 * BATCH * SEQ / 1e9
     vilt_gf = 861 * BATCH / 16
-    implied_tflops = (llama_gf + vilt_gf) / per_step / 1e3
-    # physical-sanity guard: the tower is w8 so the relevant ceiling is
-    # the v5e int8 peak (394 TOPS); an implied rate above it means work
-    # was optimized out of the loop (exactly the first run's failure mode)
-    int8_peak = float(os.environ.get("VAULT_INT8_PEAK_TOPS", "394"))
-    suspect = implied_tflops > int8_peak
-    if suspect:
-        print(f"WARNING: implied {implied_tflops:.0f} TFLOP/s exceeds the "
-              f"{int8_peak:.0f} TOPS int8 peak — part of the model was "
-              "optimized out of the timing loop", file=sys.stderr)
-    print(json.dumps({
-        "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
-        "value": round(BATCH / per_step, 2),
-        "unit": "pairs/sec/chip",
-        "ms_per_step": round(per_step * 1e3, 2),
-        "batch": BATCH,
-        "tower": "llama3-8B-geometry w8",
-        "approx_matmul_gflops_per_step": round(llama_gf + vilt_gf, 0),
-        "implied_tflops_per_sec": round(implied_tflops, 1),
-        **({"suspect": "implied rate exceeds int8 peak"} if suspect else {}),
-        **mem,
-    }))
+
+    def measure(mode):
+        p = {**params, "llama": rekey_w8a8(params["llama"])} \
+            if mode == "w8a8" else params
+        t0 = time.time()
+        pooled = np.asarray(run(p, batch, jnp.int32(1)))
+        print(f"[{mode}] compile+first step: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+        def timed(k):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(p, batch, jnp.int32(k)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_step = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+
+        # param-tree footprint from array metadata (no value fetch): the
+        # floor of HBM in use, reported even when the tunnel backend
+        # returns no memory_stats (the first run came back all-null)
+        mem = {"params_bytes": int(sum(
+            x.nbytes for x in jax.tree.leaves(p) if hasattr(x, "nbytes")))}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            mem.update({"hbm_bytes_in_use": stats.get("bytes_in_use"),
+                        "hbm_peak_bytes": stats.get("peak_bytes_in_use"),
+                        "hbm_limit_bytes": stats.get("bytes_limit")})
+            if not stats:
+                mem["hbm_stats_note"] = "backend returned no memory_stats"
+        except Exception as e:  # tunnel backends may not expose stats
+            mem["hbm_stats_error"] = str(e)
+
+        implied_tflops = (llama_gf + vilt_gf) / per_step / 1e3
+        # physical-sanity guard: w8 matmuls run bf16 (dequant on load), so
+        # the ceiling is the v5e bf16 peak; w8a8's is the int8 double rate.
+        # An implied rate above the ceiling means work was optimized out
+        # of the loop (exactly the first run's failure mode)
+        peak = float(os.environ.get(
+            "VAULT_INT8_PEAK_TOPS" if mode == "w8a8"
+            else "VAULT_BF16_PEAK_TFLOPS",
+            "394" if mode == "w8a8" else "197"))
+        suspect = implied_tflops > peak
+        if suspect:
+            print(f"WARNING: implied {implied_tflops:.0f} TFLOP/s exceeds "
+                  f"the {peak:.0f} {mode} peak — part of the model was "
+                  "optimized out of the timing loop", file=sys.stderr)
+        print(json.dumps({
+            "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+            "value": round(BATCH / per_step, 2),
+            "unit": "pairs/sec/chip",
+            "ms_per_step": round(per_step * 1e3, 2),
+            "batch": BATCH,
+            "tower": f"llama3-8B-geometry {mode}",
+            "approx_matmul_gflops_per_step": round(llama_gf + vilt_gf, 0),
+            "implied_tflops_per_sec": round(implied_tflops, 1),
+            **({"suspect": f"implied rate exceeds {mode} peak"}
+               if suspect else {}),
+            **mem,
+        }), flush=True)
+        return pooled, per_step
+
+    modes = ("w8", "w8a8") if QUANT == "both" else (QUANT,)
+    results = {m: measure(m) for m in modes}
+    if QUANT == "both":
+        a, b = results["w8"][0].astype(np.float32), \
+               results["w8a8"][0].astype(np.float32)
+        print(json.dumps({
+            "metric": "llama8b_w8a8_vs_w8",
+            "speedup": round(results["w8"][1] / results["w8a8"][1], 3),
+            "pooled_max_abs_diff": round(float(np.abs(a - b).max()), 4),
+            "pooled_mean_abs_diff": round(float(np.abs(a - b).mean()), 5),
+            "pooled_rms": round(float(np.sqrt((a * a).mean())), 4),
+            "batch": BATCH,
+        }), flush=True)
 
 
 if __name__ == "__main__":
