@@ -136,13 +136,21 @@ def main():
         token_type_ids=jnp.concatenate([batch["token_type_ids"][:n]] * 2))
 
     qp = {m: quantize_model_params(params, mode=m) for m in ("w8", "w8a8")}
+    # every lever composition scripts/serve.py accepts gets a real-photo
+    # row (r4 verdict #8: the recommended w8a8+merge@4 only had synthetic)
     modes = {
         "merge87@0": (params, dict(merge_patches_to=87, merge_at_layer=0)),
         "merge87@4": (params, dict(merge_patches_to=87, merge_at_layer=4)),
         "w8": (qp["w8"], {}),
         "w8a8": (qp["w8a8"], {}),
+        "w8+merge87@0": (qp["w8"], dict(merge_patches_to=87,
+                                        merge_at_layer=0)),
+        "w8+merge87@4": (qp["w8"], dict(merge_patches_to=87,
+                                        merge_at_layer=4)),
         "w8a8+merge87@0": (qp["w8a8"], dict(merge_patches_to=87,
                                             merge_at_layer=0)),
+        "w8a8+merge87@4": (qp["w8a8"], dict(merge_patches_to=87,
+                                            merge_at_layer=4)),
     }
 
     def head_logits(p, kw):
