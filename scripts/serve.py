@@ -82,8 +82,11 @@ def main():
                          "(48) flip <=1 decision under every lever and "
                          "composition; VQA's 3129-way argmax (48) and MLM "
                          "top-1 (1920) move a few percent — prefer "
-                         "--merge_at_layer 4 for both and do NOT compose "
-                         "--quantize w8a8 with merge@0 for VQA; retrieval "
+                         "--merge_at_layer 4 for both, and do NOT compose "
+                         "ANY --quantize mode with merging on wide heads "
+                         "(round-5 full matrix: VQA flips 12.5-16.7% for "
+                         "quant+merge@0, 8.3-10.4% for quant+merge@4 — "
+                         "about the sum of the single levers); retrieval "
                          "rank inversions (1128) stay <=1.6%, lowest "
                          "under w8 or merge@4")
     ap.add_argument("--merge_at_layer", type=int, default=0,
@@ -94,8 +97,9 @@ def main():
     ap.add_argument("--force", action="store_true",
                     help="serve a measured-bad lever composition anyway "
                          "(vault_tpu/serving.py check_serving_composition; "
-                         "e.g. w8a8 + merge@0 on a wide head flipped 16.7% "
-                         "of VQA decisions on the real-photo proxy)")
+                         "e.g. int8 + merge@0 on a wide head flipped "
+                         "12.5-16.7% of VQA decisions on the real-photo "
+                         "proxy)")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
                          "program covering both orientations). 'auto' "

@@ -286,17 +286,24 @@ def test_check_serving_composition_budgets():
     stay silent under every composition."""
     from vault_tpu.serving import check_serving_composition
 
-    # the red regime: wide head + w8a8 + merge@0
-    refusals, warnings = check_serving_composition(3129, "w8a8", 87, 0)
-    assert refusals and not warnings
-    # merge@4 defuses it (2.1% measured)
-    refusals, warnings = check_serving_composition(3129, "w8a8", 87, 4)
-    assert not refusals
+    # the red regime: wide head + ANY int8 mode + merge@0 (round 5 measured
+    # w8+merge@0 at 12.5% VQA flips — same regime as w8a8's 16.7%)
+    for q in ("w8", "w8a8"):
+        refusals, warnings = check_serving_composition(3129, q, 87, 0)
+        assert refusals and not warnings
+    # merge@4 defuses the refusal, but the composed rate (8.3-10.4%
+    # measured round 5) still warns
+    for q in ("w8", "w8a8"):
+        refusals, warnings = check_serving_composition(3129, q, 87, 4)
+        assert not refusals and warnings
     # single levers on a wide head: warn, don't refuse
     refusals, warnings = check_serving_composition(3129, None, 87, 0)
     assert not refusals and warnings
     refusals, warnings = check_serving_composition(3129, "w8a8", None, 0)
     assert not refusals and warnings
+    # single-lever merge@4 and w8 on a wide head: the measured-green cells
+    assert check_serving_composition(3129, None, 87, 4) == ([], [])
+    assert check_serving_composition(3129, "w8", None, 0) == ([], [])
     # narrow heads measured robust under everything
     for n in (2, 3):
         assert check_serving_composition(n, "w8a8", 87, 0) == ([], [])

@@ -54,13 +54,27 @@ def check_serving_composition(n_classes: int, quantize: Optional[str],
     refusals, warnings = [], []
     wide = n_classes >= WIDE_HEAD_CLASSES
     merged_at_0 = merge_to is not None and merge_at_layer == 0
-    if wide and quantize == "w8a8" and merged_at_0:
+    merged_mid = merge_to is not None and merge_at_layer > 0
+    if wide and quantize and merged_at_0:
+        # round-5 full composition matrix (docs/r05_head_divergence.jsonl):
+        # VQA flips w8a8+merge@0 16.7%, w8+merge@0 12.5% — BOTH int8 modes
+        # composed with embed-time merging sit in the red regime, not just
+        # w8a8 as round 4's single measured point suggested
         refusals.append(
-            f"composing --quantize w8a8 with --merge_to {merge_to} at "
-            f"--merge_at_layer 0 on a wide ({n_classes}-way) head flipped "
-            "16.7% of VQA decisions on the measured real-photo proxy "
-            "(docs/BENCHMARKS.md head table); use --merge_at_layer 4, drop "
-            "one lever, or pass --force to serve it anyway")
+            f"composing --quantize {quantize} with --merge_to {merge_to} "
+            f"at --merge_at_layer 0 on a wide ({n_classes}-way) head "
+            "flipped 12.5% (w8) / 16.7% (w8a8) of VQA decisions on the "
+            "measured real-photo proxy (docs/BENCHMARKS.md head table); "
+            "use --merge_at_layer 4, drop one lever, or pass --force to "
+            "serve it anyway")
+    elif wide and quantize and merged_mid:
+        warnings.append(
+            f"--quantize {quantize} composed with --merge_to {merge_to} "
+            f"at layer {merge_at_layer} on a wide ({n_classes}-way) head "
+            "measured 8.3% (w8) / 10.4% (w8a8) VQA decision flips on the "
+            "random-init real-photo proxy — roughly the sum of the single "
+            "levers; prefer a single lever for wide heads "
+            "(docs/BENCHMARKS.md head table)")
     elif wide and merged_at_0:
         warnings.append(
             f"--merge_to {merge_to} at layer 0 on a wide ({n_classes}-way) "
