@@ -249,16 +249,19 @@ def _last_recorded_bench():
     return best[1] if best else None
 
 
-def _last_train_record():
-    """Newest train-bench measurement from the docs/r*_tpu_results.jsonl
+def _last_train_records():
+    """Newest train-bench measurements from the docs/r*_tpu_results.jsonl
     series (scripts/train_bench.py via the round queue scripts), so the
     driver-visible BENCH record carries BOTH axes of the BASELINE north
     star — the r04 verdict noted a reader of BENCH_r*.json alone could
-    not see training progress.  Returns the tagged record dict or None."""
+    not see training progress.  Returns (newest unmerged record, newest
+    merged record) — merged training (`merge_to` set) is a deliberate
+    recipe change, so it must not silently replace the faithful-recipe
+    number as "the" training throughput.  Either may be None."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    newest = None
+    newest = {False: None, True: None}
     for path in glob.glob(os.path.join(here, "docs",
                                        "r*_tpu_results.jsonl")):
         try:
@@ -271,12 +274,14 @@ def _last_train_record():
                     if (rec.get("metric")
                             == "vault_train_step_pairs_per_sec_per_chip"
                             and rec.get("value") is not None):
-                        key = rec.get("ts", "")
-                        if newest is None or key > newest.get("ts", ""):
-                            newest = rec
+                        merged = rec.get("merge_to") is not None
+                        cur = newest[merged]
+                        if cur is None or rec.get("ts", "") > cur.get(
+                                "ts", ""):
+                            newest[merged] = rec
         except OSError:
             continue
-    return newest
+    return newest[False], newest[True]
 
 
 def bench_train_live():
@@ -304,13 +309,19 @@ def bench_train_live():
 
 
 def _recorded_train_fields():
-    rec = _last_train_record()
-    if rec is None:
-        return {}
-    return {"train_pairs_per_sec": rec.get("value"),
-            "train_batch": rec.get("batch"),
-            "train_source": f"recorded:{rec.get('tag', '?')}@"
-                            f"{rec.get('ts', '?')}"}
+    plain, merged = _last_train_records()
+    out = {}
+    if plain is not None:
+        out.update(train_pairs_per_sec=plain.get("value"),
+                   train_batch=plain.get("batch"),
+                   train_source=f"recorded:{plain.get('tag', '?')}@"
+                                f"{plain.get('ts', '?')}")
+    if merged is not None:
+        out.update(train_merged_pairs_per_sec=merged.get("value"),
+                   train_merged_to=merged.get("merge_to"),
+                   train_merged_source=f"recorded:{merged.get('tag', '?')}@"
+                                       f"{merged.get('ts', '?')}")
+    return out
 
 
 def _train_fields():

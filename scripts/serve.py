@@ -93,7 +93,13 @@ def main():
                     help="WHERE to merge: 0 (default) merges raw embeddings "
                          "before the encoder (max savings); k > 0 merges "
                          "after k encoder layers on contextualized tokens — "
-                         "much lower divergence for (12-k)/12 of the savings")
+                         "much lower divergence on the random-init proxy "
+                         "for (12-k)/12 of the savings.  Caveat (round-5 "
+                         "trained-margin proxy, BENCHMARKS): on a TRAINED "
+                         "model mid-stack merging measured ~3x MORE "
+                         "decision flips than embed-time — validate on "
+                         "your task head before assuming @4 is the safe "
+                         "variant")
     ap.add_argument("--force", action="store_true",
                     help="serve a measured-bad lever composition anyway "
                          "(vault_tpu/serving.py check_serving_composition; "

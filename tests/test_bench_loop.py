@@ -207,3 +207,23 @@ def test_make_chained_forward_output_matches_single_forward():
     # output equals a single forward to bf16 tolerance
     np.testing.assert_allclose(out.astype(np.float32),
                                ref.astype(np.float32), rtol=0, atol=0.05)
+
+
+def test_recorded_train_fields_keep_recipes_separate():
+    """bench.py's driver-visible train fields (VERDICT r4 #5): the newest
+    UNMERGED train measurement is the primary `train_pairs_per_sec` —
+    merged training (`merge_to` set) is a deliberate recipe change and
+    must not silently replace it — and the merged number rides in its own
+    `train_merged_*` fields.  Reads the real docs/r*_tpu_results.jsonl
+    series committed in this repo."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    plain, merged = bench._last_train_records()
+    assert plain is not None and plain.get("merge_to") is None
+    fields = bench._recorded_train_fields()
+    assert fields["train_pairs_per_sec"] == plain["value"]
+    if merged is not None:
+        assert merged["merge_to"] is not None
+        assert fields["train_merged_pairs_per_sec"] == merged["value"]
+        assert fields["train_merged_to"] == merged["merge_to"]
