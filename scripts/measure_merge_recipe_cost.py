@@ -35,7 +35,8 @@ training/trainer.py) under the SHIPPED TrainArgs defaults (rbg dropout
 stream, bf16 AdamW moments) x 3 seeds x {control, merge@0, merge@1}.
 Prints one JSON line per run plus a summary with mean deltas.
 
-CPU, ~30-60 min: python scripts/measure_merge_recipe_cost.py
+CPU, ~10-20 min (the task saturates in ~2 eval windows):
+python scripts/measure_merge_recipe_cost.py
 (MERGE_RECIPE_SEEDS=1 for a quick single-seed pass; MERGE_RECIPE_MODES
 filters modes.)
 """
