@@ -262,6 +262,7 @@ def _last_train_records():
 
     here = os.path.dirname(os.path.abspath(__file__))
     newest = {False: None, True: None}
+    best = {False: None, True: None}
     for path in glob.glob(os.path.join(here, "docs",
                                        "r*_tpu_results.jsonl")):
         try:
@@ -279,9 +280,12 @@ def _last_train_records():
                         if cur is None or rec.get("ts", "") > cur.get(
                                 "ts", ""):
                             newest[merged] = rec
+                        if (best[merged] is None
+                                or rec["value"] > best[merged]["value"]):
+                            best[merged] = rec
         except OSError:
             continue
-    return newest[False], newest[True]
+    return newest[False], newest[True], best[False], best[True]
 
 
 def bench_train_live():
@@ -309,7 +313,7 @@ def bench_train_live():
 
 
 def _recorded_train_fields():
-    plain, merged = _last_train_records()
+    plain, merged, best_plain, best_merged = _last_train_records()
     out = {}
     if plain is not None:
         out.update(train_pairs_per_sec=plain.get("value"),
@@ -321,6 +325,19 @@ def _recorded_train_fields():
                    train_merged_to=merged.get("merge_to"),
                    train_merged_source=f"recorded:{merged.get('tag', '?')}@"
                                        f"{merged.get('ts', '?')}")
+    # the newest record is whatever leg ran last (could be a sweep point,
+    # e.g. the b64 control that loses to b32); the high-water mark per
+    # recipe is the headline a reader wants, tag disclosing its config
+    if best_plain is not None:
+        out.update(train_best_pairs_per_sec=best_plain["value"],
+                   train_best_source=f"recorded:{best_plain.get('tag', '?')}"
+                                     f"@{best_plain.get('ts', '?')}")
+    if best_merged is not None:
+        out.update(
+            train_merged_best_pairs_per_sec=best_merged["value"],
+            train_merged_best_source=f"recorded:"
+                                     f"{best_merged.get('tag', '?')}@"
+                                     f"{best_merged.get('ts', '?')}")
     return out
 
 

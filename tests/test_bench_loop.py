@@ -219,11 +219,15 @@ def test_recorded_train_fields_keep_recipes_separate():
     import importlib
 
     bench = importlib.import_module("bench")
-    plain, merged = bench._last_train_records()
+    plain, merged, best_plain, best_merged = bench._last_train_records()
     assert plain is not None and plain.get("merge_to") is None
     fields = bench._recorded_train_fields()
     assert fields["train_pairs_per_sec"] == plain["value"]
+    assert fields["train_best_pairs_per_sec"] >= plain["value"]
+    assert best_plain.get("merge_to") is None
     if merged is not None:
         assert merged["merge_to"] is not None
         assert fields["train_merged_pairs_per_sec"] == merged["value"]
         assert fields["train_merged_to"] == merged["merge_to"]
+        assert (fields["train_merged_best_pairs_per_sec"]
+                >= merged["value"] - 1e-9)
