@@ -254,10 +254,12 @@ def _last_train_records():
     series (scripts/train_bench.py via the round queue scripts), so the
     driver-visible BENCH record carries BOTH axes of the BASELINE north
     star — the r04 verdict noted a reader of BENCH_r*.json alone could
-    not see training progress.  Returns (newest unmerged record, newest
-    merged record) — merged training (`merge_to` set) is a deliberate
-    recipe change, so it must not silently replace the faithful-recipe
-    number as "the" training throughput.  Either may be None."""
+    not see training progress.  Returns a 4-tuple (newest unmerged,
+    newest merged, best unmerged, best merged) — merged training
+    (`merge_to` set) is a deliberate recipe change, so it must not
+    silently replace the faithful-recipe number as "the" training
+    throughput, and the newest leg of a batch sweep must not read as a
+    regression of the high-water mark.  Any slot may be None."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -302,6 +304,13 @@ def bench_train_live():
                                                 "32"),
                TRAIN_BENCH_REMAT="1", TRAIN_BENCH_OPT_DTYPE="bfloat16",
                TRAIN_BENCH_RBG="1")
+    # pin EVERY recipe knob, not just the three defaults above: a shell
+    # that still exports e.g. TRAIN_BENCH_MERGE_TO=87 from a queue run
+    # must not get the merged recipe recorded as the faithful live number
+    for knob in ("TRAIN_BENCH_MERGE_TO", "TRAIN_BENCH_MERGE_LAYER",
+                 "TRAIN_BENCH_NODROP", "TRAIN_BENCH_GRAD_BF16",
+                 "TRAIN_BENCH_CANVAS", "TRAIN_BENCH_PRECAST"):
+        env.pop(knob, None)
     r = subprocess.run([sys.executable,
                         os.path.join(here, "scripts", "train_bench.py")],
                        env=env, capture_output=True, text=True,
@@ -342,17 +351,20 @@ def _recorded_train_fields():
 
 
 def _train_fields():
-    """The training-throughput fields for the output record: a fresh
-    measurement when VAULT_BENCH_TRAIN=1, else the newest recorded one."""
+    """The training-throughput fields for the output record: the recorded
+    series always (merged-recipe + high-water-mark axes included), with
+    the primary number replaced by a fresh measurement when
+    VAULT_BENCH_TRAIN=1 — a live reading must not DROP the other fields."""
+    fields = _recorded_train_fields()
     if os.environ.get("VAULT_BENCH_TRAIN", "0") == "1":
         try:
             rec = bench_train_live()
-            return {"train_pairs_per_sec": rec["value"],
-                    "train_batch": rec.get("batch"),
-                    "train_source": "live"}
+            fields.update(train_pairs_per_sec=rec["value"],
+                          train_batch=rec.get("batch"),
+                          train_source="live")
         except Exception as e:
             print(f"live train bench failed: {e}", file=sys.stderr)
-    return _recorded_train_fields()
+    return fields
 
 
 def main():
@@ -421,6 +433,12 @@ def main():
     if retried:
         out["retried"] = True
         out["first_attempt"] = round(first_attempt, 2)
+    # a skipped structural check must be distinguishable from a passing
+    # one (the guard exists to catch SILENT exclusions — it must not be
+    # silently absent itself): hlo_checked is always present
+    out["hlo_checked"] = bool(hlo is not None and "ok" in hlo)
+    if hlo is not None and hlo.get("ok"):
+        out["hlo_matmuls_in_loop"] = hlo.get("inside")
     if hlo is not None and not hlo.get("ok"):
         out["suspect"] = (f"{hlo.get('outside')} matmuls hoisted outside "
                           "the timing loop")

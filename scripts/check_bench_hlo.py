@@ -43,7 +43,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from vault_tpu.models.vault import init_vault, vault_apply
 from vault_tpu.utils.benchloop import (
-    feedback_batch, make_chained_forward, matmul_loop_placement)
+    chained_hlo_is_sound, make_chained_forward)
 
 BUGGY = os.environ.get("BENCH_HLO_BUGGY", "0") == "1"
 
@@ -96,12 +96,10 @@ def main():
     else:
         chained = make_chained_forward(apply_fn, pooled_shape)
 
-    txt = (jax.jit(chained)
-           .lower(params, batch, jax.ShapeDtypeStruct((), jnp.int32))
-           .compile().as_text())
-    inside, outside = matmul_loop_placement(txt)
-    print(json.dumps({"ok": outside == 0 and inside > 0,
-                      "inside": inside, "outside": outside}))
+    ok, inside, outside = chained_hlo_is_sound(
+        jax.jit(chained), params, batch,
+        jax.ShapeDtypeStruct((), jnp.int32))
+    print(json.dumps({"ok": ok, "inside": inside, "outside": outside}))
 
 
 if __name__ == "__main__":

@@ -169,6 +169,7 @@ def test_matmul_loop_placement_on_toy_program():
         f"inside={inside_b} outside={outside_b}")
 
 
+@pytest.mark.slow  # CLI subprocess rehearsal (two jit-compiling procs)
 def test_check_bench_hlo_script():
     """The bench.py pre-timing guard end-to-end: the REAL chained VAuLT
     program structure (scripts/check_bench_hlo.py) must pass with

@@ -296,14 +296,15 @@ def test_check_serving_composition_budgets():
     for q in ("w8", "w8a8"):
         refusals, warnings = check_serving_composition(3129, q, 87, 4)
         assert not refusals and warnings
-    # single levers on a wide head: warn, don't refuse
+    # single levers on a wide head: warn, don't refuse.  w8 and w8a8
+    # measured IDENTICAL 6.2% VQA flips (round 5), so BOTH warn
     refusals, warnings = check_serving_composition(3129, None, 87, 0)
     assert not refusals and warnings
-    refusals, warnings = check_serving_composition(3129, "w8a8", None, 0)
-    assert not refusals and warnings
-    # single-lever merge@4 and w8 on a wide head: the measured-green cells
+    for q in ("w8", "w8a8"):
+        refusals, warnings = check_serving_composition(3129, q, None, 0)
+        assert not refusals and warnings
+    # single-lever merge@4 on a wide head: the measured-green cell (2.1%)
     assert check_serving_composition(3129, None, 87, 4) == ([], [])
-    assert check_serving_composition(3129, "w8", None, 0) == ([], [])
     # narrow heads measured robust under everything
     for n in (2, 3):
         assert check_serving_composition(n, "w8a8", 87, 0) == ([], [])

@@ -81,11 +81,15 @@ def check_serving_composition(n_classes: int, quantize: Optional[str],
             "head measured a 4.2% decision-flip rate on the random-init "
             "proxy; --merge_at_layer 4 halves it (2.1%) for 2/3 of the "
             "speedup (docs/BENCHMARKS.md)")
-    elif wide and quantize == "w8a8":
+    elif wide and quantize:
+        # w8 and w8a8 measured IDENTICAL 6.2% VQA flip rates (round-5
+        # matrix) — warn on both; the lowest-divergence single lever for
+        # wide heads is merge@4 (2.1%)
         warnings.append(
-            f"--quantize w8a8 on a wide ({n_classes}-way) head measured a "
-            "6.2% decision-flip rate on the random-init proxy; prefer w8 "
-            "or --merge_to with --merge_at_layer 4 (docs/BENCHMARKS.md)")
+            f"--quantize {quantize} on a wide ({n_classes}-way) head "
+            "measured a 6.2% decision-flip rate on the random-init proxy "
+            "(w8 and w8a8 alike); the lowest-divergence single lever is "
+            "--merge_to with --merge_at_layer 4 (docs/BENCHMARKS.md)")
     return refusals, warnings
 
 
