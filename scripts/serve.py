@@ -74,7 +74,10 @@ def main():
                          "Measured batch-16 v5e throughput "
                          "(docs/BENCHMARKS.md): bf16 2042 -> 3429 pairs/s "
                          "at merge@0 (1.68x), 3075 at merge@4; composed "
-                         "with --quantize w8a8: 3566 (the fastest config). "
+                         "with --quantize w8a8: 3566.  Merging also moves "
+                         "the batch sweet spot to 64 (--max_batch 64): "
+                         "bf16+merge87 3630.8, w8a8+merge87 4011.0 — the "
+                         "fastest measured config, ~16 ms/step. "
                          "Composes with --quantize/--dp/--tp; not with --pp. "
                          "Head validation (measure_head_divergence.py, "
                          "random-init pessimistic proxy, n in parens): "
@@ -84,10 +87,10 @@ def main():
                          "top-1 (1920) move a few percent — prefer "
                          "--merge_at_layer 4 for both, and do NOT compose "
                          "ANY --quantize mode with merging on wide heads "
-                         "(round-5 full matrix: VQA flips 12.5-16.7% for "
-                         "quant+merge@0, 8.3-10.4% for quant+merge@4 — "
+                         "(round-5 full matrix: VQA flips 12.5-16.7%% for "
+                         "quant+merge@0, 8.3-10.4%% for quant+merge@4 — "
                          "about the sum of the single levers); retrieval "
-                         "rank inversions (1128) stay <=1.6%, lowest "
+                         "rank inversions (1128) stay <=1.6%%, lowest "
                          "under w8 or merge@4")
     ap.add_argument("--merge_at_layer", type=int, default=0,
                     help="WHERE to merge: 0 (default) merges raw embeddings "
@@ -104,7 +107,7 @@ def main():
                     help="serve a measured-bad lever composition anyway "
                          "(vault_tpu/serving.py check_serving_composition; "
                          "e.g. int8 + merge@0 on a wide head flipped "
-                         "12.5-16.7% of VQA decisions on the real-photo "
+                         "12.5-16.7%% of VQA decisions on the real-photo "
                          "proxy)")
     ap.add_argument("--canvas", default="608x608",
                     help="fixed HxW canvas (default 608x608: one compiled "
