@@ -290,6 +290,53 @@ def _last_train_records():
     return newest[False], newest[True], best[False], best[True]
 
 
+def _recorded_serve_fields():
+    """Best LEVERED serving throughput from the recorded series
+    (scripts/perf_sweep.py rows: quant/merge sweeps via the round queue
+    scripts), so BENCH_r*.json carries the serving axis too — the main
+    `value` is the production-default forward; the levers (int8, ToMe,
+    batch) are deliberate accuracy trade-offs and must stay a separate,
+    config-disclosed field (round-5 high-water: w8a8+merge87@0 at batch
+    64).  Rows are recognized by shape (pairs_per_sec + pallas, no
+    `metric` key) and only count as levered when quant or merge is on."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "docs",
+                                       "r*_tpu_results.jsonl")):
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if ("metric" in rec or "pallas" not in rec
+                            or rec.get("pairs_per_sec") is None):
+                        continue
+                    levered = (rec.get("merge_to") is not None
+                               or str(rec.get("quant", "0")) not in
+                               ("0", "None"))
+                    if not levered:
+                        continue
+                    if best is None or rec["pairs_per_sec"] > best[
+                            "pairs_per_sec"]:
+                        best = rec
+        except OSError:
+            continue
+    if best is None:
+        return {}
+    return {
+        "serve_levered_best_pairs_per_sec": best["pairs_per_sec"],
+        "serve_levered_best_config": {
+            k: best.get(k) for k in ("batch", "quant", "merge_to",
+                                     "merge_at_layer", "pallas")},
+        "serve_levered_best_source": f"recorded:{best.get('tag', '?')}@"
+                                     f"{best.get('ts', '?')}",
+    }
+
+
 def bench_train_live():
     """Opt-in live training leg (VAULT_BENCH_TRAIN=1): run the train bench
     at the SHIPPED TrainArgs defaults (remat + bf16 optimizer moments +
@@ -389,6 +436,7 @@ def main():
             # never attempt the live train leg on a dead backend — it
             # would hang to its timeout; the recorded value still ships
             **_recorded_train_fields(),
+            **_recorded_serve_fields(),
         }))
         return
     hlo = hlo_structure_check()
@@ -429,6 +477,8 @@ def main():
         # fine-tuning): live when VAULT_BENCH_TRAIN=1, else the newest
         # queue-recorded train-bench value (r04 verdict #5)
         **_train_fields(),
+        # the serving axis: best recorded levered config, config disclosed
+        **_recorded_serve_fields(),
     }
     if retried:
         out["retried"] = True

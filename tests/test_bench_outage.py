@@ -57,3 +57,37 @@ def test_last_recorded_bench_skips_failed_rounds():
     import bench
     last = bench._last_recorded_bench()
     assert last is not None and last > 0
+
+
+def test_recorded_serve_fields_pick_levered_best(tmp_path, monkeypatch):
+    """The serving-axis field must pick the fastest LEVERED perf-sweep row
+    only: production-default (quant off, no merge) rows and train-metric
+    rows must never become the levered headline, even when faster."""
+    rows = [
+        # unlevered and fastest — must be ignored
+        {"tag": "ctl", "ts": "2026-01-01T00:00:00Z", "batch": 16,
+         "pallas": "auto", "quant": "0", "merge_to": None,
+         "merge_at_layer": 0, "pairs_per_sec": 9999.0},
+        # train row (has `metric`) — ignored
+        {"tag": "train", "ts": "2026-01-01T00:00:01Z", "metric":
+         "vault_train_step_pairs_per_sec_per_chip", "value": 8888.0,
+         "batch": 32, "merge_to": 87},
+        # two levered rows — the faster one wins
+        {"tag": "m87", "ts": "2026-01-01T00:00:02Z", "batch": 16,
+         "pallas": "auto", "quant": "0", "merge_to": 87,
+         "merge_at_layer": 0, "pairs_per_sec": 3000.0},
+        {"tag": "w8a8_m87", "ts": "2026-01-01T00:00:03Z", "batch": 64,
+         "pallas": "fuselnqkv+fusemlp", "quant": "w8a8", "merge_to": 87,
+         "merge_at_layer": 0, "pairs_per_sec": 4000.0},
+    ]
+    p = tmp_path / "r99_tpu_results.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    sys.path.insert(0, ROOT)
+    import glob as glob_mod
+
+    import bench
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(p)])
+    out = bench._recorded_serve_fields()
+    assert out["serve_levered_best_pairs_per_sec"] == 4000.0
+    assert out["serve_levered_best_config"]["quant"] == "w8a8"
+    assert "w8a8_m87" in out["serve_levered_best_source"]
