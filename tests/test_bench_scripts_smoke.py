@@ -57,11 +57,18 @@ def test_perf_sweep_queue_legs(extra):
     assert out[-1]["pairs_per_sec"] > 0
 
 
-def test_llama_probe_leg():
+@pytest.mark.parametrize("extra", [
+    {},
+    # the queue-7 batch-sweep combination: w8a8 mode with a non-default
+    # batch (the r05 legs run LLAMA_BENCH_QUANT=w8a8 LLAMA_BENCH_BATCH=32/64)
+    {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_BATCH": "4"},
+], ids=["w8_default", "w8a8_batch"])
+def test_llama_probe_leg(extra):
     out = _run("scripts/probe_llama8b.py",
                {"LLAMA_BENCH_TINY": "1", "LLAMA_BENCH_BATCH": "2",
-                "LLAMA_BENCH_CANVAS": "64,64"})
+                "LLAMA_BENCH_CANVAS": "64,64", **extra})
     rec = out[-1]
     assert rec["value"] > 0
     assert rec["params_bytes"] > 0
     assert "implied_tflops_per_sec" in rec
+    assert rec["batch"] == int(extra.get("LLAMA_BENCH_BATCH", "2"))
