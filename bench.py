@@ -337,6 +337,56 @@ def _recorded_serve_fields():
     }
 
 
+def _recorded_llama_fields():
+    """Best Llama-3-8B-geometry tower throughput from the recorded series
+    (scripts/probe_llama8b.py via the round queue scripts) — the fourth
+    axis of the BASELINE story (config 5: batched big-tower inference),
+    so BENCH_r*.json discloses it alongside forward/train/serve.  The
+    tower string carries the quant mode (w8 vs w8a8 — different accuracy
+    budgets), so the config is disclosed with the number.
+
+    Only POST-AUDIT rows are eligible: the round-4 measurement audit
+    retracted the pre-audit probe reading (6.91 ms/step — the text-tower
+    hoisting bug), and the retracted row is still in the r04 series with
+    no in-band marker.  The post-audit probe always emits
+    `implied_tflops_per_sec` and self-flags impossible readings, so
+    requiring that field (and that it not exceed the int8 device peak)
+    excludes retracted/ hoisted rows by construction."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "docs",
+                                       "r*_tpu_results.jsonl")):
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (rec.get("metric")
+                            != "llama8b_vault_forward_pairs_per_sec_per_chip"
+                            or rec.get("value") is None):
+                        continue
+                    tf = rec.get("implied_tflops_per_sec")
+                    if tf is None or tf > 400:  # v5e int8 peak ~394
+                        continue
+                    if best is None or rec["value"] > best["value"]:
+                        best = rec
+        except OSError:
+            continue
+    if best is None:
+        return {}
+    return {
+        "llama8b_best_pairs_per_sec": best["value"],
+        "llama8b_best_config": {
+            k: best.get(k) for k in ("batch", "tower", "ms_per_step")},
+        "llama8b_best_source": f"recorded:{best.get('tag', '?')}@"
+                               f"{best.get('ts', '?')}",
+    }
+
+
 def bench_train_live():
     """Opt-in live training leg (VAULT_BENCH_TRAIN=1): run the train bench
     at the SHIPPED TrainArgs defaults (remat + bf16 optimizer moments +
@@ -437,6 +487,7 @@ def main():
             # would hang to its timeout; the recorded value still ships
             **_recorded_train_fields(),
             **_recorded_serve_fields(),
+            **_recorded_llama_fields(),
         }))
         return
     hlo = hlo_structure_check()
@@ -479,6 +530,8 @@ def main():
         **_train_fields(),
         # the serving axis: best recorded levered config, config disclosed
         **_recorded_serve_fields(),
+        # the big-tower axis (BASELINE config 5): best recorded Llama probe
+        **_recorded_llama_fields(),
     }
     if retried:
         out["retried"] = True

@@ -91,3 +91,55 @@ def test_recorded_serve_fields_pick_levered_best(tmp_path, monkeypatch):
     assert out["serve_levered_best_pairs_per_sec"] == 4000.0
     assert out["serve_levered_best_config"]["quant"] == "w8a8"
     assert "w8a8_m87" in out["serve_levered_best_source"]
+
+
+def test_recorded_llama_fields_pick_best_probe_row(tmp_path, monkeypatch):
+    """The big-tower axis must pick the fastest Llama PROBE row only
+    (metric-matched), never the w8a8-vs-w8 comparison record or other
+    metrics, and must disclose the tower/batch config with the number."""
+    rows = [
+        # a PRE-AUDIT row (no implied_tflops_per_sec): this is the shape
+        # of the retracted 6.91 ms hoisting-bug reading still present in
+        # the r04 series — absurdly fast, must never win
+        {"tag": "llama8b", "ts": "2025-12-31T00:00:00Z",
+         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+         "value": 2314.96, "batch": 16, "ms_per_step": 6.91,
+         "tower": "llama3-8B-geometry w8"},
+        # a post-audit row whose implied TFLOP/s exceeds the int8 device
+        # peak — a hoisted/implausible reading flagging itself; skipped
+        {"tag": "llama8b_hoisted", "ts": "2025-12-31T00:00:01Z",
+         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+         "value": 1500.0, "batch": 16, "ms_per_step": 10.7,
+         "implied_tflops_per_sec": 980.0,
+         "tower": "llama3-8B-geometry w8"},
+        {"tag": "llama8b_w8_vs_w8a8", "ts": "2026-01-01T00:00:00Z",
+         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+         "value": 284.21, "batch": 16, "ms_per_step": 56.3,
+         "implied_tflops_per_sec": 185.8,
+         "tower": "llama3-8B-geometry w8"},
+        # the comparison record (no `value`) — must be ignored
+        {"tag": "llama8b_w8_vs_w8a8", "ts": "2026-01-01T00:00:01Z",
+         "metric": "llama8b_w8a8_vs_w8", "speedup": 1.153, "batch": 16},
+        # a faster row wins
+        {"tag": "llama8b_w8a8_b64", "ts": "2026-01-01T00:00:02Z",
+         "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+         "value": 500.0, "batch": 64, "ms_per_step": 128.0,
+         "implied_tflops_per_sec": 327.0,
+         "tower": "llama3-8B-geometry w8a8"},
+        # an unrelated faster metric — ignored
+        {"tag": "train", "ts": "2026-01-01T00:00:03Z",
+         "metric": "vault_train_step_pairs_per_sec_per_chip",
+         "value": 9999.0, "batch": 32},
+    ]
+    p = tmp_path / "r99_tpu_results.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    sys.path.insert(0, ROOT)
+    import glob as glob_mod
+
+    import bench
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(p)])
+    out = bench._recorded_llama_fields()
+    assert out["llama8b_best_pairs_per_sec"] == 500.0
+    assert out["llama8b_best_config"]["tower"] == "llama3-8B-geometry w8a8"
+    assert out["llama8b_best_config"]["batch"] == 64
+    assert "llama8b_w8a8_b64" in out["llama8b_best_source"]
