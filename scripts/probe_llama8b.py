@@ -55,6 +55,16 @@ K_LO, K_HI = 2, 6
 QUANT = os.environ.get("LLAMA_BENCH_QUANT", "w8")
 if QUANT not in ("w8", "w8a8", "both"):
     raise SystemExit(f"LLAMA_BENCH_QUANT={QUANT!r}: use w8, w8a8, or both")
+# LLAMA_BENCH_TOWER_ONLY=1: time ONLY the Llama tower + LM projection
+# (no image patches, no ViLT co-encoder) with the same chained-slope
+# method — the decomposition leg for the round-5 ceiling question.  The
+# bare int8 SwiGLU chain at this tower's MLP geometry measured 328
+# implied TFLOP/s (int8_ceiling_llama_mlp_r640) while the FULL step
+# implies 213-219, and full-minus-tower separates "the gap is ViLT-side
+# + glue" from "the gap is inside the tower layers" before any kernel
+# work.  Reported under a DIFFERENT metric name so bench.py's
+# best-recorded-Llama selection (full-forward rows only) never picks it.
+TOWER_ONLY = os.environ.get("LLAMA_BENCH_TOWER_ONLY", "0") == "1"
 
 
 def _np_quant_linear(rng, in_dim, out_dim):
@@ -114,7 +124,7 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
-    vilt = init_vilt(k1, vilt_cfg)
+    vilt = None if TOWER_ONLY else init_vilt(k1, vilt_cfg)
     proj = {"w": np.asarray(jax.random.normal(
                 k2, (llama_cfg.hidden_size, vilt_cfg.hidden_size),
                 jnp.float32) * 0.02),
@@ -128,7 +138,9 @@ def main():
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
             else x, t)
 
-    params = {"llama": llama, "vilt": bf16(vilt), "lm_proj": bf16(proj)}
+    params = {"llama": llama, "lm_proj": bf16(proj)}
+    if not TOWER_ONLY:
+        params["vilt"] = bf16(vilt)
     t0 = time.time()
     params = jax.device_put(params)
     jax.block_until_ready(params)
@@ -160,10 +172,24 @@ def main():
     # pixel_values and XLA hoisted the ENTIRE 8B text tower out of the
     # loop, reporting a physically impossible 6.91 ms/step (>= 24 ms at
     # int8 peak) — vault_tpu/utils/benchloop.py documents the hazard
-    chained = make_chained_forward(
-        lambda p, b: vault_with_llama_tower(
-            p, vilt_cfg, llama_cfg, **b).pooler_output,
-        (BATCH, vilt_cfg.hidden_size))
+    if TOWER_ONLY:
+        from vault_tpu.models.llama import llama_apply
+        from vault_tpu.ops.nn import linear
+
+        batch = {k: batch[k] for k in ("input_ids", "attention_mask")}
+
+        def tower_fwd(p, b):
+            hidden = llama_apply(p["llama"], llama_cfg, b["input_ids"],
+                                 b["attention_mask"])
+            return linear(p["lm_proj"], hidden)[:, 0]
+
+        chained = make_chained_forward(tower_fwd,
+                                       (BATCH, vilt_cfg.hidden_size))
+    else:
+        chained = make_chained_forward(
+            lambda p, b: vault_with_llama_tower(
+                p, vilt_cfg, llama_cfg, **b).pooler_output,
+            (BATCH, vilt_cfg.hidden_size))
     run = jax.jit(chained)
 
     # matmul FLOPs: llama tower 2*N_active*B*L (weight FLOPs; ~7.5e9
@@ -172,7 +198,7 @@ def main():
     # terms must scale with BATCH or non-default LLAMA_BENCH_BATCH runs
     # misreport the ViLT contribution
     llama_gf = 2 * 7.50e9 * BATCH * SEQ / 1e9
-    vilt_gf = 861 * BATCH / 16
+    vilt_gf = 0.0 if TOWER_ONLY else 861 * BATCH / 16
 
     def measure(mode):
         p = {**params, "llama": rekey_w8a8(params["llama"])} \
@@ -222,7 +248,9 @@ def main():
                   f"the {peak:.0f} {mode} peak — part of the model was "
                   "optimized out of the timing loop", file=sys.stderr)
         print(json.dumps({
-            "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
+            "metric": ("llama8b_tower_only_pairs_per_sec_per_chip"
+                       if TOWER_ONLY else
+                       "llama8b_vault_forward_pairs_per_sec_per_chip"),
             "value": round(BATCH / per_step, 2),
             "unit": "pairs/sec/chip",
             "ms_per_step": round(per_step * 1e3, 2),

@@ -58,11 +58,24 @@ def test_perf_sweep_queue_legs(extra):
 
 
 @pytest.mark.parametrize("extra", [
+    # the queue-8 ceiling probe: SwiGLU chain at non-default geometry
+    {"PROBE_ROWS": "8", "PROBE_H": "32", "PROBE_I": "64",
+     "PROBE_SWIGLU": "1"},
+], ids=["swiglu"])
+def test_int8_probe_leg(extra):
+    rec = _run("scripts/probe_int8_matmul.py", extra)[-1]
+    assert rec["int8_ms"] > 0 and rec["bf16_ms"] > 0
+    assert rec["swiglu"] is True and rec["i"] == 64
+
+
+@pytest.mark.parametrize("extra", [
     {},
     # the queue-7 batch-sweep combination: w8a8 mode with a non-default
     # batch (the r05 legs run LLAMA_BENCH_QUANT=w8a8 LLAMA_BENCH_BATCH=32/64)
     {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_BATCH": "4"},
-], ids=["w8_default", "w8a8_batch"])
+    # the queue-9 decomposition leg: tower-only timing, no ViLT side
+    {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_TOWER_ONLY": "1"},
+], ids=["w8_default", "w8a8_batch", "tower_only"])
 def test_llama_probe_leg(extra):
     out = _run("scripts/probe_llama8b.py",
                {"LLAMA_BENCH_TINY": "1", "LLAMA_BENCH_BATCH": "2",
