@@ -52,6 +52,31 @@ def test_llama_parity_full_mask():
     assert np.abs(np.asarray(out) - ref).max() < 2e-4
 
 
+def test_gqa_grouped_matches_repeat():
+    """_gqa_attend (grouped einsum, no materialized K/V repeat) must equal
+    the HF repeat_kv composition (jnp.repeat + attend) exactly — same
+    contraction order over D, so this pins bit-level-tight equality, with
+    both a padding bias and a per-head bias through the reshape branch."""
+    from vault_tpu.models.llama import _gqa_attend
+    from vault_tpu.ops.attention import attend
+
+    rng = np.random.default_rng(7)
+    b, h, kvh, l, d = 2, 8, 2, 9, 16
+    rep = h // kvh
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, kvh, l, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, kvh, l, d)), jnp.float32)
+    for bias in (
+            None,
+            jnp.asarray(rng.normal(size=(b, 1, l, l)) * 3, jnp.float32),
+            jnp.asarray(rng.normal(size=(b, h, l, l)) * 3, jnp.float32)):
+        ref = attend(jnp.repeat(q, 1, axis=1),
+                     jnp.repeat(k, rep, axis=1),
+                     jnp.repeat(v, rep, axis=1), bias)
+        got = _gqa_attend(q, k, v, bias, rep)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-6
+
+
 def test_llama_parity_padded():
     cfg = tiny_llama_config()
     hf = _hf_llama(cfg, seed=1)

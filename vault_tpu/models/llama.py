@@ -98,6 +98,38 @@ def init_llama(rng, cfg: LlamaConfig):
     }
 
 
+def _gqa_attend(q, k, v, bias, rep):
+    """Grouped-query attention without materializing repeated K/V.
+
+    HF ``repeat_kv`` + standard attention (modeling_llama.py) tiles each
+    of the ``kvh`` K/V heads ``rep`` times so q head ``i`` attends to kv
+    head ``i // rep`` — the repeat writes rep x the K/V activations to
+    HBM every layer just to feed a contraction that never needed them
+    materialized.  This computes the identical math by folding the group
+    into the einsum batch dims: q (B, H, L, D) -> (B, kvh, rep, L, D)
+    against k/v (B, kvh, L, D).  Contraction order over D is unchanged,
+    so results match the repeat form exactly (pinned by a parity test);
+    the HF numerical contract (fp32 scores/softmax, dtype cast points)
+    is the same as ops/attention.attend_xla."""
+    b, h, l, d = q.shape
+    kvh = h // rep
+    qg = q.reshape(b, kvh, rep, l, d)
+    scores = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(d))
+    if bias is not None:  # (B, 1, Lq, Lk) -> broadcast over (g, r);
+        # a per-head (B, H, Lq, Lk) bias folds into the same grouping
+        if bias.shape[1] == 1:
+            bias5 = bias[:, :, None]
+        else:
+            bias5 = bias.reshape(*bias.shape[:1], kvh, rep, *bias.shape[2:])
+        scores = scores + bias5.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgrqk,bgkd->bgrqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype).reshape(b, h, l, d)
+
+
 def _layer(lp, cfg: LlamaConfig, x, bias, position_ids):
     h = cfg.num_attention_heads
     kvh = cfg.num_key_value_heads
@@ -110,11 +142,10 @@ def _layer(lp, cfg: LlamaConfig, x, bias, position_ids):
     v = linear(lp["v"], y).reshape(b, l, kvh, d).transpose(0, 2, 1, 3)
     q = _rope(q, position_ids, cfg.rope_theta, d)
     k = _rope(k, position_ids, cfg.rope_theta, d)
-    if kvh != h:  # GQA: repeat kv heads
-        rep = h // kvh
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    ctx = attend(q, k, v, bias)
+    if kvh != h:  # GQA: grouped attention, no materialized K/V repeat
+        ctx = _gqa_attend(q, k, v, bias, h // kvh)
+    else:
+        ctx = attend(q, k, v, bias)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
     x = x + linear(lp["o"], ctx)
 
