@@ -27,4 +27,10 @@ run() {
 }
 run llama8b_tower_only_b16 env LLAMA_BENCH_QUANT=both \
     LLAMA_BENCH_TOWER_ONLY=1 python scripts/probe_llama8b.py
+# Full step at HEAD: the tree now runs grouped GQA (no materialized K/V
+# repeat), so this leg is both the decomposition's full-step side AND the
+# GQA-rewrite A/B against queue 7's repeat-form numbers (w8 56.30 ms,
+# w8a8 48.84 ms at b16).
+run llama8b_full_b16_gqa env LLAMA_BENCH_QUANT=both \
+    python scripts/probe_llama8b.py
 note "queue part 9 complete -> $OUT"
