@@ -75,7 +75,11 @@ def test_int8_probe_leg(extra):
     {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_BATCH": "4"},
     # the queue-9 decomposition leg: tower-only timing, no ViLT side
     {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_TOWER_ONLY": "1"},
-], ids=["w8_default", "w8a8_batch", "tower_only"])
+    # the queue-10 scan-unroll leg (tiny config has 2 layers; unroll=2
+    # exercises the full-unroll edge)
+    {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_TOWER_ONLY": "1",
+     "LLAMA_BENCH_UNROLL": "2"},
+], ids=["w8_default", "w8a8_batch", "tower_only", "tower_unroll"])
 def test_llama_probe_leg(extra):
     out = _run("scripts/probe_llama8b.py",
                {"LLAMA_BENCH_TINY": "1", "LLAMA_BENCH_BATCH": "2",

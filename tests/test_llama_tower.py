@@ -38,8 +38,9 @@ def _hf_llama(cfg, seed=0):
     return m
 
 
-def test_llama_parity_full_mask():
-    cfg = tiny_llama_config()
+@pytest.mark.parametrize("unroll", [1, 2], ids=["scan", "unroll2"])
+def test_llama_parity_full_mask(unroll):
+    cfg = tiny_llama_config(scan_unroll=unroll)
     hf = _hf_llama(cfg)
     params = llama_params_from_torch(hf.state_dict(), cfg)
     rng = np.random.default_rng(0)

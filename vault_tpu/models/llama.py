@@ -32,6 +32,14 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 500000.0
     initializer_range: float = 0.02
+    # lax.scan unroll factor for the layer stack — semantics-preserving
+    # (scan traces ``unroll`` copies of the body per while iteration).
+    # 1 = one compiled layer body (fast compile).  >1 lets XLA overlap
+    # the next layer's weight fetches with the current layer's matmuls
+    # across what would otherwise be a hard loop boundary — a serving
+    # knob for the composition gap the round-5 ceiling probe exposed
+    # (bare int8 MLP chain 328-348 TFLOP/s vs 213-219 for the full step).
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -172,7 +180,8 @@ def llama_apply(params, cfg: LlamaConfig, input_ids, attention_mask=None,
     def body(carry, lp):
         return _layer(lp, cfg, carry, bias, position_ids), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, params["layers"],
+                        unroll=cfg.scan_unroll)
     return _rms_norm(params["final_ln"], x, cfg.rms_norm_eps)
 
 
