@@ -68,6 +68,14 @@ def test_int8_probe_leg(extra):
     assert rec["swiglu"] is True and rec["i"] == 64
 
 
+def test_llama_layer_probe_leg():
+    # the queue-11 flat-layer decomposition leg
+    rec = _run("scripts/probe_llama_layer.py",
+               {"LLAMA_LAYER_TINY": "1", "LLAMA_LAYER_BATCH": "2",
+                "LLAMA_LAYER_SEQ": "8"})[-1]
+    assert rec["metric"] == "llama_layer_flat_ms" and rec["value"] > 0
+
+
 @pytest.mark.parametrize("extra", [
     {},
     # the queue-7 batch-sweep combination: w8a8 mode with a non-default
