@@ -37,6 +37,12 @@ from vault_tpu.models.llama import LlamaConfig, _layer, tiny_llama_config
 
 BATCH = int(os.environ.get("LLAMA_LAYER_BATCH", 16))
 SEQ = int(os.environ.get("LLAMA_LAYER_SEQ", 40))
+# "full" = the whole _layer; "mlp" = RMSNorm -> SwiGLU MLP -> residual
+# only (the attention half excised) — layer_full - layer_mlp isolates
+# the attention block's cost (projections + rope + grouped attention)
+MODE = os.environ.get("LLAMA_LAYER_MODE", "full")
+if MODE not in ("full", "mlp"):
+    raise SystemExit(f"LLAMA_LAYER_MODE={MODE!r}: use full or mlp")
 K_LO, K_HI = 4, 44
 
 
@@ -74,11 +80,23 @@ def main():
     causal = jnp.tril(jnp.ones((SEQ, SEQ), jnp.float32))[None, None]
     bias = (1.0 - causal) * jnp.finfo(jnp.float32).min
 
+    if MODE == "mlp":
+        from vault_tpu.models.llama import _rms_norm
+        from vault_tpu.ops.nn import linear
+
+        def step(lp, x):
+            y = _rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+            mlp = jax.nn.silu(linear(lp["gate"], y)) * linear(lp["up"], y)
+            return x + linear(lp["down"], mlp)
+    else:
+        def step(lp, x):
+            return _layer(lp, cfg, x, bias, position_ids)
+
     def chained(lp, x0, bias, position_ids, k):
         def body(_, x):
             # residual structure keeps activations bounded; the output
             # IS the next input, so every iteration is data-dependent
-            y = _layer(lp, cfg, x, bias, position_ids)
+            y = step(lp, x)
             return (y * jnp.bfloat16(0.25)).astype(jnp.bfloat16)
 
         return jax.lax.fori_loop(0, k, body, x0)[0, 0]
@@ -97,12 +115,16 @@ def main():
         return best
 
     per_layer_ms = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO) * 1e3
-    # matmul flops for one layer (weight-bearing dots only)
-    gf = 2 * BATCH * SEQ * (h * h * 2 + h * kvh * 2 + 3 * h * i) / 1e9
+    # matmul flops (weight-bearing dots only) for what this mode runs
+    if MODE == "mlp":
+        gf = 2 * BATCH * SEQ * (3 * h * i) / 1e9
+    else:
+        gf = 2 * BATCH * SEQ * (h * h * 2 + h * kvh * 2 + 3 * h * i) / 1e9
     print(json.dumps({
         "metric": "llama_layer_flat_ms",
         "value": round(per_layer_ms, 4),
         "unit": "ms/layer",
+        "mode": MODE,
         "batch": BATCH, "seq": SEQ,
         "approx_matmul_gflops_per_layer": round(gf, 1),
         # GFLOP per ms == TFLOP per s

@@ -23,3 +23,7 @@ run() {
 }
 run llama_layer_flat_b16 python scripts/probe_llama_layer.py
 note "queue part 11 complete -> $OUT"
+# appended: MLP-only flat layer (attention block = full - mlp)
+run llama_layer_flat_mlp_b16 env LLAMA_LAYER_MODE=mlp \
+    python scripts/probe_llama_layer.py
+note "queue part 11b complete -> $OUT"
