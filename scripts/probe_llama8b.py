@@ -110,15 +110,19 @@ def main():
     # lax.scan unroll factor (semantics-preserving; see LlamaConfig) —
     # the queue-10 experiment for the scan-boundary pipelining hypothesis
     unroll = int(os.environ.get("LLAMA_BENCH_UNROLL", "1"))
+    # attention impl: "xla" or "pallas" (fused_attention_gqa)
+    attn = os.environ.get("LLAMA_BENCH_ATTN", "xla")
     if os.environ.get("LLAMA_BENCH_TINY") == "1":
         # CPU smoke of the exact probe code path (flag combos, the chained
         # loop, the JSON shape) at toy geometry — tests/
         # test_bench_scripts_smoke.py runs this before a tunnel window is
         # spent on the real 8B compile
         from vault_tpu.models.llama import tiny_llama_config
-        llama_cfg = tiny_llama_config(vocab_size=512, scan_unroll=unroll)
+        llama_cfg = tiny_llama_config(vocab_size=512, scan_unroll=unroll,
+                                      attn_impl=attn)
     else:
-        llama_cfg = LlamaConfig(scan_unroll=unroll)  # Llama-3-8B geometry
+        llama_cfg = LlamaConfig(scan_unroll=unroll,  # Llama-3-8B geometry
+                                attn_impl=attn)
     vilt_cfg = ViltConfig()
 
     t0 = time.time()
@@ -264,6 +268,7 @@ def main():
             **({"suspect": f"implied rate exceeds {mode} peak"}
                if suspect else {}),
             **({"scan_unroll": unroll} if unroll != 1 else {}),
+            **({"attn_impl": attn} if attn != "xla" else {}),
             **mem,
         }), flush=True)
         return pooled, per_step

@@ -55,10 +55,11 @@ def _np_quant_linear(rng, in_dim, out_dim, key="w_q8"):
 
 
 def main():
+    attn = os.environ.get("LLAMA_LAYER_ATTN", "xla")
     if os.environ.get("LLAMA_LAYER_TINY") == "1":
-        cfg = tiny_llama_config()
+        cfg = tiny_llama_config(attn_impl=attn)
     else:
-        cfg = LlamaConfig()
+        cfg = LlamaConfig(attn_impl=attn)
     rng = np.random.default_rng(0)
     h, i = cfg.hidden_size, cfg.intermediate_size
     kvh = cfg.num_key_value_heads * cfg.head_dim
@@ -125,6 +126,7 @@ def main():
         "value": round(per_layer_ms, 4),
         "unit": "ms/layer",
         "mode": MODE,
+        "attn_impl": attn,
         "batch": BATCH, "seq": SEQ,
         "approx_matmul_gflops_per_layer": round(gf, 1),
         # GFLOP per ms == TFLOP per s

@@ -68,11 +68,17 @@ def test_int8_probe_leg(extra):
     assert rec["swiglu"] is True and rec["i"] == 64
 
 
-def test_llama_layer_probe_leg():
-    # the queue-11 flat-layer decomposition leg
+@pytest.mark.parametrize("extra", [
+    {},
+    {"LLAMA_LAYER_MODE": "mlp"},
+    # the queue-12 GQA-kernel A/B leg
+    {"LLAMA_LAYER_ATTN": "pallas"},
+], ids=["full", "mlp", "pallas_attn"])
+def test_llama_layer_probe_leg(extra):
+    # the queue-11/12 flat-layer decomposition legs
     rec = _run("scripts/probe_llama_layer.py",
                {"LLAMA_LAYER_TINY": "1", "LLAMA_LAYER_BATCH": "2",
-                "LLAMA_LAYER_SEQ": "8"})[-1]
+                "LLAMA_LAYER_SEQ": "8", **extra})[-1]
     assert rec["metric"] == "llama_layer_flat_ms" and rec["value"] > 0
 
 

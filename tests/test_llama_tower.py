@@ -78,6 +78,45 @@ def test_gqa_grouped_matches_repeat():
         assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-6
 
 
+def test_gqa_pallas_kernel_matches_xla():
+    """fused_attention_gqa (interpret mode on CPU — same kernel body the
+    TPU runs) vs the XLA grouped path, at GQA and rep=1 shapes, with a
+    causal+padding 2-D bias."""
+    from vault_tpu.models.llama import _gqa_attend
+    from vault_tpu.ops.pallas_attention import fused_attention_gqa
+
+    rng = np.random.default_rng(11)
+    for h, kvh in ((8, 2), (4, 4)):
+        b, l, d = 2, 10, 16
+        rep = h // kvh
+        q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, kvh, l, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, kvh, l, d)), jnp.float32)
+        causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+        pad = jnp.asarray(rng.integers(0, 2, (b, 1, 1, l)), jnp.float32)
+        pad = pad.at[..., 0].set(1.0)  # no fully-masked rows
+        bias = (1.0 - causal * pad) * jnp.finfo(jnp.float32).min
+        ref = _gqa_attend(q, k, v, bias, rep)
+        got = fused_attention_gqa(q, k, v, bias, interpret=True)
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-5
+
+
+def test_llama_parity_pallas_attn():
+    """The full tower through attn_impl="pallas" (kernel in interpret
+    mode) must still match HF LlamaModel."""
+    cfg = tiny_llama_config(attn_impl="pallas")
+    hf = _hf_llama(cfg)
+    params = llama_params_from_torch(hf.state_dict(), cfg)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg.vocab_size, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    out = llama_apply(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    assert np.abs(np.asarray(out) - ref).max() < 2e-4
+
+
 def test_llama_parity_padded():
     cfg = tiny_llama_config()
     hf = _hf_llama(cfg, seed=1)

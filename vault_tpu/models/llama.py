@@ -39,7 +39,13 @@ class LlamaConfig:
     # across what would otherwise be a hard loop boundary — a serving
     # knob for the composition gap the round-5 ceiling probe exposed
     # (bare int8 MLP chain 328-348 TFLOP/s vs 213-219 for the full step).
+    # Measured on the 8B tower: unroll=4 is 31% SLOWER (docs/BENCHMARKS
+    # Llama section) — keep 1 unless re-measured.
     scan_unroll: int = 1
+    # attention implementation: "xla" (grouped einsums, _gqa_attend) or
+    # "pallas" (ops/pallas_attention.fused_attention_gqa — the fp32
+    # score tile stays in VMEM; exactness-tested vs the XLA path).
+    attn_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -150,7 +156,12 @@ def _layer(lp, cfg: LlamaConfig, x, bias, position_ids):
     v = linear(lp["v"], y).reshape(b, l, kvh, d).transpose(0, 2, 1, 3)
     q = _rope(q, position_ids, cfg.rope_theta, d)
     k = _rope(k, position_ids, cfg.rope_theta, d)
-    if kvh != h:  # GQA: grouped attention, no materialized K/V repeat
+    if cfg.attn_impl == "pallas":
+        from vault_tpu.ops.pallas_attention import fused_attention_gqa
+
+        bias4 = jnp.broadcast_to(bias, (b, 1, l, l)).astype(jnp.float32)
+        ctx = fused_attention_gqa(q, k, v, bias4)
+    elif kvh != h:  # GQA: grouped attention, no materialized K/V repeat
         ctx = _gqa_attend(q, k, v, bias, h // kvh)
     else:
         ctx = attend(q, k, v, bias)

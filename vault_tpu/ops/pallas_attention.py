@@ -160,6 +160,73 @@ def fused_attention_dotbatch(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
+def _attn_kernel_gqa(q_ref, k_ref, v_ref, bias_ref, out_ref, *, rep):
+    """One program per BATCH row, GQA-aware dotbatch (models/llama.py).
+
+    q heads are folded into their K/V group — (H, L, D) -> (kvh, rep*L,
+    D), exploiting head index = group*rep + r — so ONE batched dot over
+    the kvh groups serves all H query heads against the UNREPEATED K/V
+    (the XLA path's grouped einsum, moved into VMEM with the fp32 score
+    tile never touching HBM).  The bias block is the full 2-D (Lq, Lk)
+    causal+padding mask (the encoder kernels above take a (1, L) row —
+    a causal tower needs the per-query-row mask), tiled across the rep
+    fold in-register.  Numerics match _gqa_attend / attend_xla: fp32
+    scores and softmax, same contraction orders, bf16 cast at PV."""
+    h, l, d = q_ref.shape[1:]
+    kvh = h // rep
+    q = q_ref[0].reshape(kvh, rep * l, d)
+    k = k_ref[0]                                    # (kvh, L, D)
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # (kvh, rep*L, L)
+    scores = scores * (1.0 / (d ** 0.5))
+    b2 = bias_ref[0, 0].astype(jnp.float32)         # (Lq, Lk)
+    scores = scores + jnp.tile(b2, (rep, 1))[None]  # row r*L+lq <- b2[lq]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # (kvh, rep*L, D)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(h, l, d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention_gqa(q: jax.Array, k: jax.Array, v: jax.Array,
+                        bias: jax.Array,
+                        interpret: bool | None = None) -> jax.Array:
+    """Grouped-query attention kernel: q (B, H, L, D), k/v (B, kvh, L, D)
+    with kvh dividing H, bias (B, 1, Lq, Lk) additive (causal+padding).
+    Returns (B, H, L, D).  rep == H // kvh; rep == 1 degrades to plain
+    multi-head with a 2-D bias."""
+    b, h, l, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q_spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, kvh, l, d), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, l, l), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_gqa, rep=rep),
+        grid=(b,),
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * l * l * d,
+            bytes_accessed=(2 * b * h * l * d
+                            + 2 * b * kvh * l * d) * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+    )(q, k, v, bias)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     bias: jax.Array | None, interpret: bool | None = None) -> jax.Array:
