@@ -112,6 +112,9 @@ def main():
     unroll = int(os.environ.get("LLAMA_BENCH_UNROLL", "1"))
     # attention impl: "xla" or "pallas" (fused_attention_gqa)
     attn = os.environ.get("LLAMA_BENCH_ATTN", "xla")
+    # MLP impl: "xla" or "pallas" (ops/pallas_swiglu fused w8a8 kernel;
+    # only takes effect on the w8a8 leg — w8 params fall back to XLA)
+    mlp = os.environ.get("LLAMA_BENCH_MLP", "xla")
     if os.environ.get("LLAMA_BENCH_TINY") == "1":
         # CPU smoke of the exact probe code path (flag combos, the chained
         # loop, the JSON shape) at toy geometry — tests/
@@ -119,10 +122,10 @@ def main():
         # spent on the real 8B compile
         from vault_tpu.models.llama import tiny_llama_config
         llama_cfg = tiny_llama_config(vocab_size=512, scan_unroll=unroll,
-                                      attn_impl=attn)
+                                      attn_impl=attn, mlp_impl=mlp)
     else:
         llama_cfg = LlamaConfig(scan_unroll=unroll,  # Llama-3-8B geometry
-                                attn_impl=attn)
+                                attn_impl=attn, mlp_impl=mlp)
     vilt_cfg = ViltConfig()
 
     t0 = time.time()
@@ -269,6 +272,7 @@ def main():
                if suspect else {}),
             **({"scan_unroll": unroll} if unroll != 1 else {}),
             **({"attn_impl": attn} if attn != "xla" else {}),
+            **({"mlp_impl": mlp} if mlp != "xla" else {}),
             **mem,
         }), flush=True)
         return pooled, per_step

@@ -56,10 +56,11 @@ def _np_quant_linear(rng, in_dim, out_dim, key="w_q8"):
 
 def main():
     attn = os.environ.get("LLAMA_LAYER_ATTN", "xla")
+    mlp = os.environ.get("LLAMA_LAYER_MLP", "xla")
     if os.environ.get("LLAMA_LAYER_TINY") == "1":
-        cfg = tiny_llama_config(attn_impl=attn)
+        cfg = tiny_llama_config(attn_impl=attn, mlp_impl=mlp)
     else:
-        cfg = LlamaConfig(attn_impl=attn)
+        cfg = LlamaConfig(attn_impl=attn, mlp_impl=mlp)
     rng = np.random.default_rng(0)
     h, i = cfg.hidden_size, cfg.intermediate_size
     kvh = cfg.num_key_value_heads * cfg.head_dim
@@ -82,13 +83,10 @@ def main():
     bias = (1.0 - causal) * jnp.finfo(jnp.float32).min
 
     if MODE == "mlp":
-        from vault_tpu.models.llama import _rms_norm
-        from vault_tpu.ops.nn import linear
+        from vault_tpu.models.llama import _mlp_block
 
         def step(lp, x):
-            y = _rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
-            mlp = jax.nn.silu(linear(lp["gate"], y)) * linear(lp["up"], y)
-            return x + linear(lp["down"], mlp)
+            return _mlp_block(lp, cfg, x)
     else:
         def step(lp, x):
             return _layer(lp, cfg, x, bias, position_ids)
@@ -127,6 +125,7 @@ def main():
         "unit": "ms/layer",
         "mode": MODE,
         "attn_impl": attn,
+        "mlp_impl": mlp,
         "batch": BATCH, "seq": SEQ,
         "approx_matmul_gflops_per_layer": round(gf, 1),
         # GFLOP per ms == TFLOP per s

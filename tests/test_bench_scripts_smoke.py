@@ -73,7 +73,10 @@ def test_int8_probe_leg(extra):
     {"LLAMA_LAYER_MODE": "mlp"},
     # the queue-12 GQA-kernel A/B leg
     {"LLAMA_LAYER_ATTN": "pallas"},
-], ids=["full", "mlp", "pallas_attn"])
+    # the queue-13 fused-SwiGLU-kernel A/B legs (mlp-only + full layer)
+    {"LLAMA_LAYER_MODE": "mlp", "LLAMA_LAYER_MLP": "pallas"},
+    {"LLAMA_LAYER_MLP": "pallas"},
+], ids=["full", "mlp", "pallas_attn", "pallas_mlp", "full_pallas_mlp"])
 def test_llama_layer_probe_leg(extra):
     # the queue-11/12 flat-layer decomposition legs
     rec = _run("scripts/probe_llama_layer.py",
@@ -93,7 +96,10 @@ def test_llama_layer_probe_leg(extra):
     # exercises the full-unroll edge)
     {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_TOWER_ONLY": "1",
      "LLAMA_BENCH_UNROLL": "2"},
-], ids=["w8_default", "w8a8_batch", "tower_only", "tower_unroll"])
+    # the queue-13 fused-SwiGLU full-step leg
+    {"LLAMA_BENCH_QUANT": "w8a8", "LLAMA_BENCH_MLP": "pallas"},
+], ids=["w8_default", "w8a8_batch", "tower_only", "tower_unroll",
+        "pallas_mlp"])
 def test_llama_probe_leg(extra):
     out = _run("scripts/probe_llama8b.py",
                {"LLAMA_BENCH_TINY": "1", "LLAMA_BENCH_BATCH": "2",

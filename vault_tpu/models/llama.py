@@ -45,7 +45,16 @@ class LlamaConfig:
     # attention implementation: "xla" (grouped einsums, _gqa_attend) or
     # "pallas" (ops/pallas_attention.fused_attention_gqa — the fp32
     # score tile stays in VMEM; exactness-tested vs the XLA path).
+    # Measured on the flat 8B layer: pallas LOSES ~2% at seq 40
+    # (docs/BENCHMARKS.md) — keep xla unless re-measured at long seq.
     attn_impl: str = "xla"
+    # MLP implementation: "xla" or "pallas" (ops/pallas_swiglu fused
+    # w8a8 RMSNorm->SwiGLU->residual kernel; I-dim tiled so the 3x56 MB
+    # weights stream through VMEM once per row tile and the (rows, I)
+    # intermediate never touches HBM).  Only takes effect when the
+    # gate/up/down projections carry w8a8 params; requant grouping is
+    # per-(row, 2048-wide i-tile) — finer than the XLA path's per-row.
+    mlp_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -168,6 +177,16 @@ def _layer(lp, cfg: LlamaConfig, x, bias, position_ids):
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
     x = x + linear(lp["o"], ctx)
 
+    return _mlp_block(lp, cfg, x)
+
+
+def _mlp_block(lp, cfg: LlamaConfig, x):
+    """The layer's MLP half: x + down(silu(gate(rms(x))) * up(rms(x)))."""
+    if cfg.mlp_impl == "pallas":
+        from vault_tpu.ops.pallas_swiglu import swiglu_block
+
+        return swiglu_block(lp["post_ln"], lp["gate"], lp["up"],
+                            lp["down"], x, cfg.rms_norm_eps)
     y = _rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
     mlp = jax.nn.silu(linear(lp["gate"], y)) * linear(lp["up"], y)
     return x + linear(lp["down"], mlp)
