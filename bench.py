@@ -381,7 +381,9 @@ def _recorded_llama_fields():
     return {
         "llama8b_best_pairs_per_sec": best["value"],
         "llama8b_best_config": {
-            k: best.get(k) for k in ("batch", "tower", "ms_per_step")},
+            k: best.get(k) for k in ("batch", "tower", "ms_per_step")
+        } | {k: best[k] for k in ("attn_impl", "mlp_impl", "scan_unroll")
+             if k in best},  # non-default impls disclose themselves
         "llama8b_best_source": f"recorded:{best.get('tag', '?')}@"
                                f"{best.get('ts', '?')}",
     }

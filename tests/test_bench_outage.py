@@ -120,11 +120,11 @@ def test_recorded_llama_fields_pick_best_probe_row(tmp_path, monkeypatch):
         # the comparison record (no `value`) — must be ignored
         {"tag": "llama8b_w8_vs_w8a8", "ts": "2026-01-01T00:00:01Z",
          "metric": "llama8b_w8a8_vs_w8", "speedup": 1.153, "batch": 16},
-        # a faster row wins
+        # a faster row wins; its non-default impls must be disclosed
         {"tag": "llama8b_w8a8_b64", "ts": "2026-01-01T00:00:02Z",
          "metric": "llama8b_vault_forward_pairs_per_sec_per_chip",
          "value": 500.0, "batch": 64, "ms_per_step": 128.0,
-         "implied_tflops_per_sec": 327.0,
+         "implied_tflops_per_sec": 327.0, "mlp_impl": "pallas",
          "tower": "llama3-8B-geometry w8a8"},
         # an unrelated faster metric — ignored
         {"tag": "train", "ts": "2026-01-01T00:00:03Z",
@@ -142,4 +142,6 @@ def test_recorded_llama_fields_pick_best_probe_row(tmp_path, monkeypatch):
     assert out["llama8b_best_pairs_per_sec"] == 500.0
     assert out["llama8b_best_config"]["tower"] == "llama3-8B-geometry w8a8"
     assert out["llama8b_best_config"]["batch"] == 64
+    assert out["llama8b_best_config"]["mlp_impl"] == "pallas"
+    assert "attn_impl" not in out["llama8b_best_config"]  # default: absent
     assert "llama8b_w8a8_b64" in out["llama8b_best_source"]

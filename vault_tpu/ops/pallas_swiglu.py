@@ -50,12 +50,18 @@ from jax.experimental.pallas import tpu as pltpu
 from vault_tpu.ops.pallas_mlp import _pick_row_tile, _rowquant
 
 # batch16 x seq40 = 640 rows in one pass => each weight byte read once per
-# step; 14336 = 7 i-tiles of 2048; (4096, 2048) int8 block = 8 MB in VMEM.
-# Estimated VMEM at the 8B geometry ~95 MB (3x8 MB weight blocks double-
-# buffered + 10.5 MB f32 accumulator + row blocks) — the env knobs are the
-# queue's retry lever if a remote compile reports VMEM pressure.
+# step; 14336 = 14 i-tiles of 1024; (4096, 1024) int8 block = 4 MB in VMEM.
+# Per i-step at these defaults: ~16 GOP of int8 matmul (41 us at peak) vs
+# 12 MB of weight blocks (15 us at HBM speed) — compute-bound with room to
+# double-buffer.  Whole-kernel VMEM ~90 MB (24 MB weight blocks + row
+# blocks + 13 MB scratch + matmul/elementwise stack), far over the 16 MB
+# default scoped-vmem budget (the first on-chip compile OOMed exactly
+# there), so the pallas_call carries an explicit vmem_limit_bytes.  The
+# env knobs are the queue's retry lever if a remote compile still
+# reports VMEM pressure.
 ROW_TILE = int(os.environ.get("SWIGLU_ROW_TILE", "640"))
-I_TILE = int(os.environ.get("SWIGLU_I_TILE", "2048"))
+I_TILE = int(os.environ.get("SWIGLU_I_TILE", "1024"))
+VMEM_LIMIT = int(os.environ.get("SWIGLU_VMEM_LIMIT", str(100 * 2**20)))
 
 
 def _rms_norm_f32(w, x, eps):
@@ -191,6 +197,7 @@ def fused_swiglu_block_fwd_w8a8(ln_w, wgq, sg, wuq, su, wdq, sd, x,
             pltpu.VMEM((tr, h), jnp.float32),   # down accumulator
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * rows * h * i_dim,
             bytes_accessed=(2 * rows * h * x.dtype.itemsize
