@@ -23,6 +23,18 @@ read once per ROW TILE (row_tile defaults to 640 = the serving probe's
 batch16 x seq40, so once per step at that geometry), and the requant
 row-max never makes an extra pass over HBM.
 
+MEASURED OUTCOME (queue part 13, docs/BENCHMARKS.md Llama section): the
+kernel wins where it fuses — the isolated MLP chain drops 0.954 ->
+0.789 ms/layer (286 TFLOP/s implied) — but LOSES 26% on the deployed
+scanned tower (60.13 vs 47.84 ms same-session pair), because (a) a
+custom-call operand forces XLA to materialize each layer's ~168 MB
+weight slice out of the scan's stacked arrays (~0.4 ms/layer of pure
+HBM copy; the XLA dot consumes the slice in its operand load), and
+(b) the call is a scheduling barrier that un-overlaps the attention
+block's elementwise from the MLP matmuls (+0.13 ms/layer on the flat
+layer).  LlamaConfig.mlp_impl therefore stays "xla" by default; use
+"pallas" only with flat (unstacked) per-layer weights.
+
 Quantization grouping: the SwiGLU intermediate is quantized per
 (row, i-tile) — FINER than the XLA path's per-row-over-all-I
 (ops/nn.linear "w_q8" branch), because the row max inside one 2048-wide
